@@ -1,0 +1,232 @@
+"""BaseModel: the main recursive DPV network.
+
+Rebuilt from the reference (models/models.py:441-1156) as a functional Flax
+module. Differences from the reference that matter on TPU:
+
+- the per-batch-item Python loops around the plane-sweep warp become a
+  single ``jax.vmap`` (one fused XLA program, batch on the mesh);
+- tensors are channel-last inside modules; the public contract keeps the
+  reference layout: ``rgb [B, T, 3, H, W]`` in, DPVs ``[B, D, h, w]`` out;
+- the light-curtain loop (``lc_process``) is NOT inside the network: it is a
+  separate jitted function (``lc.process``) applied to the refined DPV by the
+  step functions, mirroring the reference's ``BV_cur_refined.detach()``
+  boundary with ``lax.stop_gradient``.
+
+nmode dispatch parity (models.py:678-837): default, exp2, exp3, exp7,
+exp7_lc, lc.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from depthestimation_tpu.models.base3d import Base3D
+from depthestimation_tpu.models.decoder import BaseDecoder
+from depthestimation_tpu.models.encoder import BaseEncoder
+from depthestimation_tpu.models.layers import Conv, avg_pool, leaky_relu, max_pool
+from depthestimation_tpu.ops.plane_sweep import (
+    plane_sweep_volume,
+    warp_feature_volume,
+)
+
+
+def _nchw(x):
+    return jnp.moveaxis(x, -1, -3)
+
+
+def _nhwc(x):
+    return jnp.moveaxis(x, -3, -1)
+
+
+class BaseModelNet(nn.Module):
+    """See module docstring. ``d_candi`` is passed in ``model_input``."""
+    feature_dim: int = 64
+    d: int = 64
+    nmode: str = "exp7"
+    bn_avg: bool = False
+    sigma_soft_max: float = 10.0
+    diffhomo: bool = True
+    use_lc_prob: float = 0.7
+
+    def setup(self):
+        self.base_encoder = BaseEncoder(self.feature_dim, self.bn_avg)
+        self.base_decoder = BaseDecoder(self.d)
+        self.conv0 = Conv(self.d, 3, 1, 1)
+        self.conv0_1 = Conv(self.d, 3, 1, 1)
+        self.conv0_2 = Conv(self.d, 3, 1, 1)
+        if self.nmode in ("exp3", "exp4"):
+            self.based_3d = Base3D(feature_dim=32, dres_count=2, bn_avg=self.bn_avg)
+        elif self.nmode in ("exp6", "exp7", "exp7_lc", "lc"):
+            self.based_3d = Base3D(feature_dim=32, dres_count=2, bn_avg=self.bn_avg)
+
+    # -- shared encoder path --------------------------------------------
+
+    def _encode(self, model_input, train: bool):
+        rgb = model_input["rgb"]                      # [B, T, 3, H, W]
+        b, t = rgb.shape[0], rgb.shape[1]
+        x = _nhwc(rgb.reshape((b * t,) + rgb.shape[2:]))   # [BT, H, W, 3]
+        feat1, feat_raw, feat = self.base_encoder(x, train)
+
+        dw = x.shape[1] // feat.shape[1]
+        img_feat = avg_pool(x, dw)                    # [BT, H/4, W/4, 3]
+        feat_all = jnp.concatenate([feat, img_feat], axis=-1)   # [., C+3]
+
+        def split(y):
+            return y.reshape((b, t) + y.shape[1:])
+
+        return split(feat1), split(feat_raw), split(feat_all)
+
+    def _cost_volume(self, feat_all, model_input):
+        """vmapped plane-sweep cost volume. feat_all: [B, T, h, w, C+3]."""
+        d_candi = model_input["d_candi"]
+        feats = _nchw(feat_all)                       # [B, T, C+3, h, w]
+
+        def per_item(feats_i, poses_i, intr_i, rays_i):
+            return plane_sweep_volume(
+                feats_i[-1], feats_i[:-1], d_candi,
+                poses_i[:-1, :3, :3], poses_i[:-1, :3, 3],
+                intr_i, rays_i, self.sigma_soft_max)
+
+        return jax.vmap(per_item)(feats, model_input["src_cam_poses"],
+                                  model_input["intrinsics"],
+                                  model_input["unit_ray"])   # [B, D, h, w]
+
+    def _warped_features(self, feat_raw, model_input):
+        """vmapped diagonal feature warp. feat_raw: [B, T, h, w, C=D]."""
+        d_candi = model_input["d_candi"]
+        feats = _nchw(feat_raw)
+
+        def per_item(feats_i, poses_i, intr_i, rays_i):
+            return warp_feature_volume(feats_i, d_candi, poses_i[:, :3, :3],
+                                       poses_i[:, :3, 3], intr_i, rays_i)
+
+        return jax.vmap(per_item)(feats, model_input["src_cam_poses"],
+                                  model_input["intrinsics"],
+                                  model_input["unit_ray"])   # [B, T, D, h, w]
+
+    def _bv_head(self, cost):
+        """conv0 stack + log_softmax -> low-res log DPV [B, h, w, D]."""
+        x = _nhwc(cost)
+        x = leaky_relu(self.conv0(x))
+        x = leaky_relu(self.conv0_1(x))
+        x = self.conv0_2(x)
+        return nn.log_softmax(x, axis=-1)
+
+    def _prev_or_uniform(self, prev, shape):
+        """prev (log DPV [B, D, h, w]) or log-uniform."""
+        if prev is None:
+            return jnp.full(shape, jnp.log(1.0 / self.d), jnp.float32)
+        return prev
+
+    # -- forward ----------------------------------------------------------
+
+    @nn.compact
+    def __call__(self, model_input: dict, train: bool = True) -> dict:
+        nmode = self.nmode
+        feat1, feat_raw, feat_all = self._encode(model_input, train)
+        rgb_last = _nhwc(model_input["rgb"][:, -1])          # [B, H, W, 3]
+
+        if self.diffhomo:
+            cost = self._cost_volume(feat_all, model_input)
+        else:
+            cost = _nchw(feat_all[:, -1, :, :, :-3])
+
+        bv = self._bv_head(cost)                             # [B, h, w, D] log
+
+        feats_dec = [feat_all[:, -1, :, :, :-3], feat1[:, -1], rgb_last]
+
+        if nmode == "default":
+            refined = self.base_decoder(jnp.exp(bv), feats_dec)
+            return {"output": [_nchw(bv)], "output_refined": [_nchw(refined)],
+                    "flow": None, "flow_refined": None}
+
+        if nmode == "exp2":
+            # Fuse an externally supplied GT/LIDAR DPV by log-addition
+            tofuse = model_input["tofuse_dpv"]               # [B, D, h, w] prob
+            fused = jnp.exp(_nchw(bv) + jnp.log(tofuse))
+            fused = fused / jnp.sum(fused, axis=1, keepdims=True)
+            fused = jnp.clip(fused, 1e-16, 1.0)
+            bv_fused = jnp.log(fused)
+            refined = self.base_decoder(_nhwc(fused), feats_dec)
+            return {"output": [bv_fused, _nchw(bv)],
+                    "output_refined": [_nchw(refined)],
+                    "flow": None, "flow_refined": None}
+
+        if nmode == "exp3":
+            warped = self._warped_features(feat_raw, model_input)
+            vol = jnp.concatenate([_nchw(bv)[:, None], warped], axis=1)
+            bv_upd = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=True)
+            refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
+            return {"output": [_nchw(bv), bv_upd],
+                    "output_refined": [_nchw(refined)],
+                    "flow": None, "flow_refined": None}
+
+        if nmode in ("exp7", "exp7_lc"):
+            warped = self._warped_features(feat_raw, model_input)
+            bv_nchw = _nchw(bv)
+            prev_output = self._prev_or_uniform(
+                model_input.get("prev_output"), bv_nchw.shape)
+            planes = [bv_nchw[:, None], prev_output[:, None]]
+            if nmode == "exp7_lc":
+                prev_lc = self._drop_prev_lc(
+                    model_input.get("prev_lc"), bv_nchw.shape, train)
+                planes.append(prev_lc[:, None])
+            planes.append(warped)
+            vol = jnp.concatenate(planes, axis=1)            # [B, C, D, h, w]
+            resi = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=False)
+            bv_upd = nn.log_softmax(bv_nchw + resi, axis=1)
+            refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
+            return {"output": [bv_nchw, bv_upd],
+                    "output_refined": [_nchw(refined)],
+                    "flow": None, "flow_refined": None}
+
+        if nmode == "lc":
+            bv_nchw = _nchw(bv)
+            prev_output = self._prev_or_uniform(
+                model_input.get("prev_output"), bv_nchw.shape)
+            prev_lc = self._drop_prev_lc(
+                model_input.get("prev_lc"), bv_nchw.shape, train)
+            feat_plane = _nchw(feat_all[:, -1, :, :, :-3])   # [B, C=D, h, w]
+            vol = jnp.stack([bv_nchw, prev_output, prev_lc, feat_plane], axis=1)
+            resi = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=False)
+            bv_upd = nn.log_softmax(bv_nchw + resi, axis=1)
+            refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
+            return {"output": [bv_nchw, bv_upd],
+                    "output_refined": [_nchw(refined)],
+                    "flow": None, "flow_refined": None}
+
+        raise ValueError(f"unknown nmode {nmode!r}")
+
+    def _drop_prev_lc(self, prev_lc: Optional[Any], shape, train: bool):
+        """Randomly replace prev_lc with log-uniform during training with
+        prob 1 - use_lc_prob (models.py:762-772)."""
+        uniform = jnp.full(shape, jnp.log(1.0 / self.d), jnp.float32)
+        if prev_lc is None:
+            return uniform
+        if not train:
+            return prev_lc
+        keep = jax.random.bernoulli(self.make_rng("lc_drop"),
+                                    self.use_lc_prob)
+        return jnp.where(keep, prev_lc, uniform)
+
+
+class DefaultModel(nn.Module):
+    """Tiny debug CNN (models.py:1158-1201)."""
+    d: int = 64
+
+    @nn.compact
+    def __call__(self, model_input: dict, train: bool = True) -> dict:
+        x = _nhwc(model_input["rgb"][:, -1])
+        x = leaky_relu(Conv(32, 3, 1, 1)(x), 0.1)
+        x = max_pool(x, 2)
+        x = leaky_relu(Conv(self.d, 3, 1, 1)(x), 0.1)
+        x = max_pool(x, 2)
+        out = nn.log_softmax(x, axis=-1)
+        up = jnp.repeat(jnp.repeat(x, 4, axis=1), 4, axis=2)  # nearest x4
+        up = nn.log_softmax(up, axis=-1)
+        return {"output": [_nchw(out)], "output_refined": [_nchw(up)],
+                "flow": None, "flow_refined": None}

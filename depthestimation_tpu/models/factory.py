@@ -1,0 +1,31 @@
+"""Model factory (reference models/get_model.py:5-16)."""
+
+from __future__ import annotations
+
+from depthestimation_tpu.models.base_model import BaseModelNet, DefaultModel
+
+
+def get_model(cfg):
+    name = cfg.data.model_name
+    if name == "base":
+        return BaseModelNet(
+            feature_dim=cfg.var.feature_dim,
+            d=cfg.var.ndepth,
+            nmode=cfg.var.nmode,
+            bn_avg=cfg.var.bn_avg,
+            sigma_soft_max=cfg.var.sigma_soft_max,
+            diffhomo=cfg.var.get("diffhomo", True),
+            use_lc_prob=cfg.lc.get("use_lc_prob", 0.7),
+        )
+    if name == "default":
+        return DefaultModel(d=cfg.var.ndepth)
+    if name == "sweep":
+        from depthestimation_tpu.models.sweep import SweepModel
+        return SweepModel()
+    if name == "packnet":
+        from depthestimation_tpu.models.packnet import PackNetModel
+        return PackNetModel(d=cfg.var.ndepth)
+    if name == "pwclite":
+        from depthestimation_tpu.models.pwclite import PWCLite
+        return PWCLite()
+    raise ValueError(f"unknown model {name!r}")

@@ -1,0 +1,227 @@
+"""Torch-geometry-compatible building blocks in Flax linen.
+
+All modules operate channel-last (NHWC / NDHWC) — the TPU-native layout —
+while reproducing the reference's PyTorch convolution geometry (explicit
+symmetric padding, transposed-conv output sizes) and weight initialization
+(fan-out normal for convs — models/models.py:505-524 in the reference;
+bilinear kernels for transposed convs) so hyper-parameters transfer 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fanout_normal_init(kernel_hw_prod_axis: int = -2):
+    """std = sqrt(2 / (kh * kw * out_channels)) — the reference's weight_init.
+
+    Kernel layout: (*spatial, in, out).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        spatial = int(np.prod(shape[:-2]))
+        n = spatial * shape[-1]
+        return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / n)
+
+    return init
+
+
+def bilinear_kernel_init():
+    """Bilinear upsampling kernel, broadcast over (in, out) channel pairs —
+    matches the reference decoder's ConvTranspose init (models.py:364-374)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw = shape[0], shape[1]
+        def axis(n):
+            factor = (n + 1) // 2
+            center = factor - 1 if n % 2 == 1 else factor - 0.5
+            return 1 - np.abs(np.arange(n) - center) / factor
+        w = np.outer(axis(kh), axis(kw)).astype(np.float32)
+        return jnp.broadcast_to(jnp.asarray(w, dtype)[:, :, None, None], shape)
+
+    return init
+
+
+class Conv(nn.Module):
+    """2D conv, torch geometry: explicit symmetric padding."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = fanout_normal_init()
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class Conv3d(nn.Module):
+    """3D conv over [B, D, H, W, C], torch geometry."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k, p, s = self.kernel_size, self.padding, self.stride
+        return nn.Conv(
+            self.features, (k, k, k), strides=(s, s, s),
+            padding=((p, p),) * 3, use_bias=self.use_bias,
+            kernel_init=fanout_normal_init(),
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv matching torch ``ConvTranspose2d(k, s, p)``:
+    out = (in - 1) * s - 2p + k. Implemented as input-dilated conv with a
+    flipped kernel so the geometry is exact."""
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = bilinear_kernel_init()
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, in_ch, self.features))
+        # conv_transpose(x, w) == conv(dilate_s(x), flip(w)), pad = k - 1 - p
+        flipped = kernel[::-1, ::-1]
+        pad = k - 1 - p
+        y = jax.lax.conv_general_dilated(
+            x, flipped,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch semantics.
+
+    track_running_stats=False (the reference's default, models.py:30): batch
+    statistics are used in BOTH train and eval — the module is stateless.
+    track_running_stats=True: running stats are updated in train (torch
+    momentum 0.1) and used in eval.
+
+    Under pjit with a batch-sharded mesh the reductions below are global, so
+    cross-replica ("Sync") BatchNorm comes for free — no explicit collective
+    is needed (replaces SyncBatchNorm.convert_sync_batchnorm in the
+    reference trainer, base_trainer.py:112-113).
+    """
+    track_running_stats: bool = False
+    momentum: float = 0.1
+    eps: float = 1e-5
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+
+        if self.track_running_stats:
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
+
+        if train or not self.track_running_stats:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            if self.track_running_stats and train and not self.is_initializing():
+                n = float(np.prod([x.shape[a] for a in axes]))
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale_bias:
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y
+
+
+class ConvBN(nn.Module):
+    """convbn (models.py:25-30): conv (no bias) + BN; padding follows the
+    reference's quirk padding = dilation if dilation > 1 else pad."""
+    features: int
+    kernel_size: int
+    stride: int
+    pad: int
+    dilation: int = 1
+    bn_running_avg: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        p = self.dilation if self.dilation > 1 else self.pad
+        x = Conv(self.features, self.kernel_size, self.stride, p,
+                 self.dilation, use_bias=False)(x)
+        return BatchNorm(self.bn_running_avg)(x, train)
+
+
+class ConvBN3d(nn.Module):
+    """convbn_3d (models.py:32-36)."""
+    features: int
+    kernel_size: int
+    stride: int
+    pad: int
+    bn_running_avg: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv3d(self.features, self.kernel_size, self.stride, self.pad,
+                   use_bias=False)(x)
+        return BatchNorm(self.bn_running_avg)(x, train)
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch default alpha 0.25)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25),
+                           (x.shape[-1],))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def leaky_relu(x, slope: float = 0.01):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def avg_pool(x, window: int, stride: int | None = None):
+    stride = stride or window
+    return nn.avg_pool(x, (window, window), (stride, stride), padding="VALID")
+
+
+def max_pool(x, window: int):
+    return nn.max_pool(x, (window, window), (window, window), padding="VALID")

@@ -1,0 +1,134 @@
+"""Image resampling primitives (grid_sample equivalents) in pure XLA.
+
+These back every warp in the framework (plane-sweep, inverse warp, field
+warps). They are written as static-shape gathers so XLA can vectorize them
+onto the VPU; for the plane-sweep hot path see ``ops/plane_sweep.py`` which
+additionally offers a fused Pallas kernel.
+
+Geometry matches ``torch.nn.functional.grid_sample`` (the reference's warp
+primitive) for both ``align_corners`` conventions with zero padding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    """[-1, 1] grid coordinate -> pixel coordinate."""
+    size = jnp.float32(size)
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1.0)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
+    """Sample ``img`` at normalized ``grid`` locations with zero padding.
+
+    Args:
+      img:  [C, H, W] source image.
+      grid: [..., 2] normalized (x, y) coordinates in [-1, 1].
+      mode: 'bilinear' or 'nearest'.
+
+    Returns [C, ...] sampled values (zeros outside the image).
+
+    Batched use: ``jax.vmap(grid_sample)`` over leading axes.
+    """
+    c, h, w = img.shape
+    out_shape = grid.shape[:-1]
+    g = grid.reshape((-1, 2))
+    x = _unnormalize(g[:, 0], w, align_corners)
+    y = _unnormalize(g[:, 1], h, align_corners)
+
+    flat = img.reshape((c, h * w))
+
+    def gather(iy, ix):
+        """Zero-padded gather at integer pixel coords [N]."""
+        inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        iyc = jnp.clip(iy, 0, h - 1)
+        ixc = jnp.clip(ix, 0, w - 1)
+        vals = jnp.take(flat, iyc * w + ixc, axis=1)  # [C, N]
+        return jnp.where(inside[None, :], vals, 0.0)
+
+    if mode == "nearest":
+        # torch rounds half away from... actually uses round-half-even via
+        # std::nearbyint; floor(x+0.5) differs only on exact .5 ties.
+        ix = jnp.floor(x + 0.5).astype(jnp.int32)
+        iy = jnp.floor(y + 0.5).astype(jnp.int32)
+        out = gather(iy, ix)
+    elif mode == "bilinear":
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0).astype(img.dtype)
+        wy = (y - y0).astype(img.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        v00 = gather(y0i, x0i)
+        v01 = gather(y0i, x0i + 1)
+        v10 = gather(y0i + 1, x0i)
+        v11 = gather(y0i + 1, x0i + 1)
+        out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+               + v10 * wy * (1 - wx) + v11 * wy * wx)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    return out.reshape((c,) + out_shape)
+
+
+def grid_sample_pixel(img, pix, mode: str = "bilinear"):
+    """Sample at raw PIXEL coordinates (x, y) with zero padding — no
+    normalized-coordinate round trip. img: [C, H, W]; pix: [..., 2]."""
+    h, w = img.shape[-2], img.shape[-1]
+    x = pix[..., 0] * (2.0 / max(w - 1, 1)) - 1.0
+    y = pix[..., 1] * (2.0 / max(h - 1, 1)) - 1.0
+    return grid_sample(img, jnp.stack([x, y], axis=-1), mode=mode,
+                       align_corners=True)
+
+
+def resize_bilinear_align_corners(img, out_hw):
+    """Bilinear resize with align_corners=True (torch ``F.upsample(...,
+    align_corners=True)``); jax.image.resize only offers half-pixel centers.
+
+    img: [..., H, W] -> [..., out_h, out_w].
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+
+    def axis_weights(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            idx0 = jnp.zeros((n_out,), jnp.int32)
+            return idx0, idx0, jnp.zeros((n_out,), jnp.float32)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        frac = pos - i0.astype(jnp.float32)
+        return i0, i0 + 1, frac
+
+    y0, y1, fy = axis_weights(h, oh)
+    x0, x1, fx = axis_weights(w, ow)
+
+    top = jnp.take(img, y0, axis=-2)
+    bot = jnp.take(img, y1, axis=-2)
+    rows = top * (1 - fy)[..., :, None] + bot * fy[..., :, None]
+    left = jnp.take(rows, x0, axis=-1)
+    right = jnp.take(rows, x1, axis=-1)
+    return left * (1 - fx) + right * fx
+
+
+def shift_rows(img, shift: int):
+    """Shift an image down (positive) / up (negative) along H with zero fill.
+
+    Equivalent to the reference's vertical-flowfield grid_sample shift
+    (img_utils.py:499-511) expressed as an exact integer roll.
+    img: [..., H, W].
+    """
+    if shift == 0:
+        return img
+    h = img.shape[-2]
+    rolled = jnp.roll(img, shift, axis=-2)
+    rows = jnp.arange(h)
+    if shift > 0:
+        valid = rows >= shift
+    else:
+        valid = rows < h + shift
+    return rolled * valid[:, None].astype(img.dtype)

@@ -1,0 +1,139 @@
+"""The jitted train/eval steps.
+
+One ``jax.jit`` train step = forward (both camera sides) + loss + backward +
+optimizer + batch-stats update. Under a batch-sharded mesh, GSPMD inserts
+the gradient all-reduce over ICI automatically — this single function
+replaces the reference's DDP wrapper, NCCL process groups and SyncBatchNorm
+conversion (trainer/base_trainer.py:110-124, train.py:92-123).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _decay_mask(params):
+    """True for params that take the weight decay (non-bias, >1D)."""
+    def is_weight(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return ("bias" not in name) and (x.ndim > 1)
+    return jax.tree_util.tree_map_with_path(is_weight, params)
+
+
+def make_optimizer(cfg, params):
+    """Adam/AdamW with separate bias/weight decay groups
+    (base_trainer.py:126-152). Learning rate is injected so the trainer can
+    halve it at cfg.train.halflr epochs without recompiling."""
+    t = cfg.train
+    wd = float(t.get("weight_decay", 0.0))
+    bd = float(t.get("bias_decay", 0.0))
+    mask_w = _decay_mask(params)
+    mask_b = jax.tree_util.tree_map(lambda m: not m, mask_w)
+
+    def build(lr):
+        beta1 = float(t.get("momentum", 0.9))
+        beta2 = float(t.get("beta", 0.999))
+        if t.optim == "adam":
+            # torch Adam weight_decay = coupled L2: decay enters the gradient
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask_w),
+                optax.add_decayed_weights(bd, mask_b),
+                optax.adam(lr, b1=beta1, b2=beta2),
+            )
+        if t.optim == "adamw":
+            return optax.chain(
+                optax.adamw(lr, b1=beta1, b2=beta2, weight_decay=wd,
+                            mask=mask_w),
+            )
+        raise ValueError(f"unknown optimizer {t.optim!r}")
+
+    return optax.inject_hyperparams(
+        lambda learning_rate: build(learning_rate))(learning_rate=float(t.lr))
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def init_state(model, cfg, sample_input, rng) -> tuple:
+    """Initialize params/batch_stats/optimizer from one sample batch."""
+    rngs = {"params": rng, "lc_drop": jax.random.fold_in(rng, 1)}
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = init_fn(rngs, sample_input)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state), tx
+
+
+def make_train_step(model, loss_fn, tx, donate: bool = True) -> Callable:
+    """Returns jitted (state, mi_l, mi_r, gt_l, gt_r, rng) -> (state, loss,
+    aux) where aux carries the 1/4-res prev_output/prev_lc feedback."""
+
+    def step(state: TrainState, mi_l, mi_r, gt_l, gt_r, rng):
+        rl, rr = jax.random.split(rng)
+
+        def compute_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out_l, mut_l = model.apply(variables, mi_l, train=True,
+                                       rngs={"lc_drop": rl},
+                                       mutable=["batch_stats"])
+            variables = {"params": params,
+                         "batch_stats": mut_l["batch_stats"]}
+            out_r, mut_r = model.apply(variables, mi_r, train=True,
+                                       rngs={"lc_drop": rr},
+                                       mutable=["batch_stats"])
+            loss = loss_fn([out_l, out_r], [gt_l, gt_r])
+            return loss, (mut_r["batch_stats"], out_l, out_r)
+
+        (loss, (new_bs, out_l, out_r)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+
+        aux = {
+            "prev_output_left": _quarter(out_l["output_refined"][-1]),
+            "prev_output_right": _quarter(out_r["output_refined"][-1]),
+            "refined_left": jax.lax.stop_gradient(out_l["output_refined"][-1]),
+            "refined_right": jax.lax.stop_gradient(out_r["output_refined"][-1]),
+        }
+        return new_state, loss, aux
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted inference: (params, batch_stats, model_input) -> output dict."""
+
+    def step(params, batch_stats, model_input):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, model_input, train=False)
+
+    return jax.jit(step)
+
+
+def _quarter(dpv):
+    """1/4-res nearest downsample of a [B, D, H, W] DPV — the prev_output
+    feedback (default_trainer.py:180-182 uses F.interpolate nearest 0.25,
+    which picks every 4th pixel starting at 0)."""
+    return jax.lax.stop_gradient(dpv[:, :, ::4, ::4])
