@@ -1,0 +1,324 @@
+"""KITTI raw dataset adapter + video dataset.
+
+Self-contained parser for the KITTI raw layout (no pykitti dependency):
+calib_cam_to_cam / calib_velo_to_cam / calib_imu_to_velo text files, OXTS
+packets -> IMU poses (mercator projection), PNG images, velodyne .bin
+scans. Mirrors the reference adapters (kittiloader/kitti.py:205-257 kitti
+module, 566-1031 KITTI_dataset.generate_item): per-frame it emits resized
++ imagenet-normalized RGB, velodyne-projected depth at full res, 1/4
+min-pooled depth, validity masks, rescaled FOV-preserving intrinsics, unit
+rays, and per-frame extrinsics from the IMU pose.
+
+Exposes the frame-sample contract of ``data.scheduler.VideoDataset`` so the
+same trainer runs on KITTI and synthetic data.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import lru_cache
+
+import numpy as np
+
+from depthestimation_tpu.data.velodyne import generate_depth
+from depthestimation_tpu.ops import dpv as dpv_ops
+from depthestimation_tpu.ops import geometry
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+ER = 6378137.0  # earth radius, mercator projection (pykitti convention)
+
+
+# ---------------------------------------------------------------------------
+# calibration / oxts parsing
+
+
+def _read_calib_file(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, val = line.split(":", 1)
+            try:
+                out[key.strip()] = np.array(
+                    [float(x) for x in val.split()], np.float64)
+            except ValueError:
+                pass
+    return out
+
+
+def _rt(r, t):
+    m = np.eye(4)
+    m[:3, :3] = r.reshape(3, 3)
+    m[:3, 3] = t.reshape(3)
+    return m
+
+
+def _oxts_pose(packet, scale: float) -> np.ndarray:
+    """OXTS packet -> 4x4 IMU pose (pykitti's mercator + rpy)."""
+    lat, lon, alt = packet[0], packet[1], packet[2]
+    roll, pitch, yaw = packet[3], packet[4], packet[5]
+    tx = scale * lon * math.pi * ER / 180.0
+    ty = scale * ER * math.log(math.tan((90.0 + lat) * math.pi / 360.0))
+    tz = alt
+
+    def rot(ax, a):
+        c, s = math.cos(a), math.sin(a)
+        if ax == "x":
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        if ax == "y":
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    r = rot("z", yaw) @ rot("y", pitch) @ rot("x", roll)
+    return _rt(r, np.array([tx, ty, tz]))
+
+
+class KittiDrive:
+    """One raw drive: calib, oxts poses, image/velodyne file lists.
+
+    Matches the reference kitti_module accessor API (kitti.py:205-257).
+    """
+
+    mode = "kitti"
+
+    def __init__(self, base_path: str, date: str, drive: str):
+        self.calib_path = os.path.join(base_path, date)
+        self.data_path = os.path.join(base_path, date,
+                                      f"{date}_drive_{drive}_sync")
+        c2c = _read_calib_file(os.path.join(self.calib_path,
+                                            "calib_cam_to_cam.txt"))
+        v2c = _read_calib_file(os.path.join(self.calib_path,
+                                            "calib_velo_to_cam.txt"))
+        i2v = _read_calib_file(os.path.join(self.calib_path,
+                                            "calib_imu_to_velo.txt"))
+        self.T_velo2cam0 = _rt(v2c["R"], v2c["T"])
+        self.T_imu2velo = _rt(i2v["R"], i2v["T"])
+
+        r_rect = np.eye(4)
+        r_rect[:3, :3] = c2c["R_rect_00"].reshape(3, 3)
+        self._p = {}
+        self._size = {}
+        self._t_cam = {}
+        for side, cam in (("left", "02"), ("right", "03")):
+            p = c2c[f"P_rect_{cam}"].reshape(3, 4)
+            self._p[side] = p
+            self._size[side] = c2c[f"S_rect_{cam}"].astype(int)
+            t = np.eye(4)
+            t[0, 3] = p[0, 3] / p[0, 0]
+            self._t_cam[side] = t @ r_rect @ self.T_velo2cam0
+
+        self._img_files = {
+            s: sorted(os.listdir(os.path.join(self.data_path, f"image_{c}",
+                                              "data")))
+            for s, c in (("left", "02"), ("right", "03"))}
+        velo_dir = os.path.join(self.data_path, "velodyne_points", "data")
+        self._velo_files = (sorted(os.listdir(velo_dir))
+                            if os.path.isdir(velo_dir) else [])
+        oxts_dir = os.path.join(self.data_path, "oxts", "data")
+        self._oxts_files = (sorted(os.listdir(oxts_dir))
+                            if os.path.isdir(oxts_dir) else [])
+        self._poses = None
+
+    def __len__(self):
+        return len(self._img_files["left"])
+
+    # -- accessors ---------------------------------------------------------
+
+    def get_left_K(self):
+        return self._p["left"][:3, :3].copy()
+
+    def get_right_K(self):
+        return self._p["right"][:3, :3].copy()
+
+    def get_left_size(self):
+        return tuple(self._size["left"])
+
+    def get_right_size(self):
+        return tuple(self._size["right"])
+
+    def get_lidar_2_leftcam(self):
+        return self._t_cam["left"]
+
+    def get_lidar_2_rightcam(self):
+        return self._t_cam["right"]
+
+    def get_imu_2_leftcam(self):
+        return self._t_cam["left"] @ self.T_imu2velo
+
+    def get_imu_2_rightcam(self):
+        return self._t_cam["right"] @ self.T_imu2velo
+
+    def get_T_left2right(self):
+        return self._t_cam["right"] @ np.linalg.inv(self._t_cam["left"])
+
+    def get_img(self, side: str, idx: int) -> "PIL.Image.Image":
+        import PIL.Image as Image
+        cam = "02" if side == "left" else "03"
+        return Image.open(os.path.join(self.data_path, f"image_{cam}", "data",
+                                       self._img_files[side][idx]))
+
+    def get_lidar(self, idx: int) -> np.ndarray:
+        path = os.path.join(self.data_path, "velodyne_points", "data",
+                            self._velo_files[idx])
+        pts = np.fromfile(path, np.float32).reshape(-1, 4)
+        pts[:, 3] = 1.0
+        return pts
+
+    def get_pose(self, idx: int) -> np.ndarray:
+        if self._poses is None:
+            self._poses = []
+            scale = None
+            for f in self._oxts_files:
+                packet = np.loadtxt(os.path.join(self.data_path, "oxts",
+                                                 "data", f))
+                if scale is None:
+                    scale = math.cos(packet[0] * math.pi / 180.0)
+                self._poses.append(_oxts_pose(packet, scale))
+        return self._poses[idx]
+
+
+def read_split(split_dir: str, mode: str) -> list:
+    """training.txt / testing.txt scene lists (kittiloader/k1 etc.)."""
+    fname = "training.txt" if mode == "train" else "testing.txt"
+    with open(os.path.join(split_dir, fname)) as f:
+        return [x.strip() for x in f if x.strip()]
+
+
+# ---------------------------------------------------------------------------
+# video dataset
+
+
+class KittiVideoDataset:
+    """VideoDataset over KITTI drives; frame() yields the same sample dict
+    as ``video_synthetic.SyntheticStereoVideoDataset``."""
+
+    def __init__(self, cfg, split: str = "train"):
+        self.cfg = cfg
+        v = cfg.var
+        self.w_full, self.h_full = v.img_size[0], v.img_size[1]
+        self.crop_w = v.crop_w
+        self.t_win = v.t_win
+        self.d_candi = dpv_ops.powerf(v.d_min, v.d_max, v.ndepth, v.qpower)
+        self.d_candi_up = dpv_ops.powerf(v.d_min, v.d_max, v.ndepth * 2,
+                                         v.qpower)
+        scenes = read_split(cfg.data.dataset_split, split)
+        self.drives = []
+        for name in scenes:
+            # scene name format: <date>_drive_<id>_sync
+            parts = name.split("_drive_")
+            date, drive = parts[0], parts[1].replace("_sync", "")
+            path = os.path.join(cfg.data.dataset_path, date,
+                                f"{date}_drive_{drive}_sync")
+            if os.path.isdir(path):
+                self.drives.append(KittiDrive(cfg.data.dataset_path, date,
+                                              drive))
+        self.lidar_params = (dict(cfg.lidar) if cfg.lidar.enabled
+                             else {"filtering": 2, "upsample": 0})
+
+    def n_trajectories(self) -> int:
+        return len(self.drives)
+
+    def traj_len(self, i: int) -> int:
+        return len(self.drives[i])
+
+    # -- per-frame sample ----------------------------------------------------
+
+    def _intrinsics(self, drive: KittiDrive, side: str):
+        """FOV-preserving rescale + crop handling (kitti.py:343-408)."""
+        K = drive.get_left_K() if side == "left" else drive.get_right_K()
+        raw_w, raw_h = (drive.get_left_size() if side == "left"
+                        else drive.get_right_size())
+        crop_amt = self.w_full / self.crop_w
+        K = K.copy()
+        K[0, 0] *= crop_amt
+        eff_w = raw_w / crop_amt
+        hfov = math.degrees(math.atan(K[0, 2] / K[0, 0]) * 2)
+        vfov = math.degrees(math.atan(K[1, 2] / K[1, 1]) * 2)
+
+        w4 = int(self.crop_w * 0.25)
+        h4 = int(self.h_full * 0.25)
+        intr = np.zeros((3, 3), np.float32)
+        intr[0, 0] = (w4 / 2.0) / math.tan(math.radians(hfov / 2.0))
+        intr[0, 2] = w4 / 2.0
+        intr[1, 1] = (h4 / 2.0) / math.tan(math.radians(vfov / 2.0))
+        intr[1, 2] = h4 / 2.0
+        intr[2, 2] = 1.0
+        rays = geometry.unit_ray_array_2d(w4, h4, hfov, vfov)
+        return intr, rays, hfov, vfov
+
+    def _load_side(self, drive: KittiDrive, idx: int, side: str):
+        import PIL.Image as Image
+        raw_w, raw_h = (drive.get_left_size() if side == "left"
+                        else drive.get_right_size())
+        img = drive.get_img(side, idx).resize((self.w_full, self.h_full),
+                                              Image.BILINEAR)
+        rgb = np.asarray(img, np.float32) / 255.0
+        rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+        rgb = rgb.transpose(2, 0, 1)                   # [3, H, W]
+
+        K = drive.get_left_K() if side == "left" else drive.get_right_K()
+        intr34 = np.concatenate([K, np.zeros((3, 1))], 1)
+        large_intr = geometry.intr_scale(intr34, (raw_w, raw_h),
+                                         (self.w_full, self.h_full))
+        m_velo2cam = (drive.get_lidar_2_leftcam() if side == "left"
+                      else drive.get_lidar_2_rightcam())
+        velo = drive.get_lidar(idx)
+        dmap_up = generate_depth(velo, large_intr, m_velo2cam, self.w_full,
+                                 self.h_full, self.lidar_params)
+        dmap = np.asarray(geometry.minpool(
+            np.asarray(dmap_up)[None], 4, 1000.0))[0]
+
+        # central crop
+        side_crop = (self.w_full - self.crop_w) // 2
+        sc4 = side_crop // 4
+        rgb = rgb[:, :, side_crop:self.w_full - side_crop]
+        dmap_up = dmap_up[:, side_crop:self.w_full - side_crop]
+        dmap = dmap[:, sc4:dmap.shape[1] - sc4]
+        return rgb, dmap.astype(np.float32), dmap_up.astype(np.float32)
+
+    @lru_cache(maxsize=64)
+    def _frame_cached(self, i: int, t: int):
+        drive = self.drives[i]
+        n_views = self.t_win + 1
+        idxs = [max(t - (n_views - 1 - v), 0) for v in range(n_views)]
+
+        intr, rays, _, _ = self._intrinsics(drive, "left")
+        intr_up = geometry.intr_scale_unit(intr, 4.0)
+        intr_up[2, 2] = 1.0
+        sample = {"intrinsics": intr.astype(np.float32),
+                  "intrinsics_up": intr_up.astype(np.float32),
+                  "unit_ray": rays,
+                  "T_left2right": drive.get_T_left2right().astype(np.float32),
+                  "d_candi": self.d_candi, "d_candi_up": self.d_candi_up}
+
+        for side in ("left", "right"):
+            m_imu2cam = (drive.get_imu_2_leftcam() if side == "left"
+                         else drive.get_imu_2_rightcam())
+            ext = [m_imu2cam @ np.linalg.inv(drive.get_pose(j)) for j in idxs]
+            ref = ext[-1]
+            poses = np.stack([e @ np.linalg.inv(ref) for e in ext])  # src<-ref
+
+            rgbs = []
+            for v, j in enumerate(idxs):
+                rgb, dmap, dmap_up = self._load_side(drive, j, side)
+                rgbs.append(rgb)
+            sample[f"rgb_{side}"] = np.stack(rgbs)
+            sample[f"pose_{side}"] = poses.astype(np.float32)
+            sample[f"dmap_{side}"] = dmap
+            sample[f"dmap_up_{side}"] = dmap_up
+            sample[f"mask_{side}"] = ((dmap > self.d_candi[0])
+                                      & (dmap < self.d_candi[-1])
+                                      ).astype(np.float32)[None]
+            sample[f"mask_up_{side}"] = ((dmap_up > self.d_candi[0])
+                                         & (dmap_up < self.d_candi[-1])
+                                         ).astype(np.float32)[None]
+        return sample
+
+    def frame(self, i: int, t: int) -> dict:
+        try:
+            return dict(self._frame_cached(i, t))
+        except Exception as e:  # corrupted sample -> skippable marker
+            return {"success": False, "error": str(e)}

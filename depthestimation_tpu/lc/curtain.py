@@ -343,8 +343,8 @@ class LightCurtain:
                                    jnp.asarray(self.PARAMS["rTc"]),
                                    self.PARAMS["size_rgb"][0],
                                    self.PARAMS["size_rgb"][1])
-        self.sensed_arr = jnp.stack([d, i, t])
-        return self.sensed_arr
+        # pure (jit-safe): no state is retained on the object
+        return jnp.stack([d, i, t])
 
     def gen_lc_dpv_approx(self, sensed_arr, std_div: float):
         depth_s = sensed_arr[0]

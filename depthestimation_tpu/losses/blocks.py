@@ -14,9 +14,12 @@ from depthestimation_tpu.ops.geometry import inverse_warp, minpool, transform_dm
 
 def mean_on_mask(diff, mask):
     """Masked mean with the mask broadcast over channels
-    (loss_blocks.py:68-71: denominator is the EXPANDED mask sum)."""
+    (loss_blocks.py:68-71: denominator is the EXPANDED mask sum).
+    Empty masks (possible with very sparse lidar) contribute 0, not NaN."""
     mask_full = jnp.broadcast_to(mask, diff.shape)
-    return jnp.sum(diff * mask_full) / jnp.sum(mask_full)
+    total = jnp.sum(mask_full)
+    return jnp.where(total > 0,
+                     jnp.sum(diff * mask_full) / jnp.maximum(total, 1.0), 0.0)
 
 
 def soft_cross_entropy_loss(soft_label, log_pred, mask=None):

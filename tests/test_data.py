@@ -1,0 +1,178 @@
+"""Data-layer tests: velodyne projection (numpy vs native golden parity),
+KITTI raw parsing on a synthesized mini dataset, scheduler contract."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from depthestimation_tpu.data import velodyne
+from depthestimation_tpu.data.scheduler import BatchScheduler
+from depthestimation_tpu.data.video_synthetic import (
+    SyntheticStereoVideoDataset,
+    assemble_inputs,
+)
+
+
+def _cloud(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.ones((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-10, 10, n)
+    pts[:, 1] = rng.uniform(-2, 2, n)
+    pts[:, 2] = rng.uniform(2, 40, n)
+    return pts
+
+
+INTR = np.array([[60, 0, 48, 0], [0, 60, 32, 0], [0, 0, 1, 0]], np.float32)
+
+
+def test_generate_depth_basic():
+    d = velodyne.generate_depth(_cloud(), INTR, np.eye(4), 96, 64,
+                                {"filtering": 0, "upsample": 0})
+    assert d.shape == (64, 96)
+    assert (d > 0).sum() > 500
+    assert d.max() <= 40.0 + 1e-3
+
+
+def test_generate_depth_native_matches_numpy():
+    pytest.importorskip("depthestimation_tpu.native.kittiops")
+    from depthestimation_tpu.native import kittiops
+
+    pts = _cloud(20000, 1)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 3] = 0.2
+    for filt in (0, 2):
+        ref = velodyne.generate_depth.__wrapped__(pts, INTR, m, 96, 64,
+            {"filtering": filt, "upsample": 0}) if hasattr(
+            velodyne.generate_depth, "__wrapped__") else None
+        # numpy path: force by monkey-free call of internals
+        cam = pts @ m.T
+        cam = cam[cam[:, 2] >= 0.1]
+        dmap = velodyne._zbuffer_project(cam, INTR, 96, 64)
+        expect = velodyne._occlusion_filter(dmap, filt, 1.0)
+        got = kittiops.generate_depth(pts, INTR, m, 96, 64, filt, 1.0)
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_occlusion_filter_drops_occluded():
+    d = np.full((20, 20), 10.0, np.float32)
+    d[10, 10] = 30.0  # far point surrounded by near points -> occluded
+    out = velodyne._occlusion_filter(d, 2, 1.0)
+    assert out[10, 10] == 0.0
+    assert out[5, 5] == 10.0
+
+
+def test_upsample_depth_fills_holes():
+    d = np.full((16, 16), 8.0, np.float32)
+    d[8, 8] = 0.0
+    out = velodyne.upsample_depth(d, 2, 5.0)
+    assert abs(out[8, 8] - 8.0) < 1e-4
+    # neighbors disagree wildly -> keep hole
+    d2 = d.copy()
+    d2[7:10, 7:10] = [[2, 30, 2], [30, 0, 2], [2, 30, 2]]
+    out2 = velodyne.upsample_depth(d2, 1, 5.0)
+    assert out2[8, 8] == 0.0
+
+
+def test_lc_generate_gather():
+    n = 10
+    proj = np.zeros((n, 3), np.float32)
+    proj[:, 0] = np.arange(n)          # u
+    proj[:, 1] = 1                      # v
+    proj[:, 2] = 5.0                    # z
+    proj[5, 2] = 25.0                   # too far -> masked out
+    sweep_int = np.arange(128 * 4 * 16, dtype=np.float32).reshape(128, 4, 16)
+    sweep_z = np.ones((128, 4, 16), np.float32)
+    nir = np.zeros((4, 16), np.float32)
+    fi, fz, mask, _ = velodyne.lc_generate(proj, sweep_int, sweep_z, 16, 4, nir)
+    assert mask[0, 0] == 1 and mask[0, 5] == 0
+    np.testing.assert_allclose(fi[:, 3], sweep_int[:, 1, 3])
+
+
+def _write_mini_kitti(root):
+    """Synthesize a minimal KITTI raw tree with 3 frames."""
+    import PIL.Image as Image
+
+    date, drive = "2011_09_26", "0001"
+    dpath = os.path.join(root, date, f"{date}_drive_{drive}_sync")
+    for sub in ("image_02/data", "image_03/data", "velodyne_points/data",
+                "oxts/data"):
+        os.makedirs(os.path.join(dpath, sub), exist_ok=True)
+
+    w, h = 128, 64
+    with open(os.path.join(root, date, "calib_cam_to_cam.txt"), "w") as f:
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        for cam, bl in (("02", 0.0), ("03", -387.0)):
+            f.write(f"S_rect_{cam}: {w} {h}\n")
+            f.write(f"P_rect_{cam}: 100 0 64 {bl} 0 100 32 0 0 0 1 0\n")
+    with open(os.path.join(root, date, "calib_velo_to_cam.txt"), "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+    with open(os.path.join(root, date, "calib_imu_to_velo.txt"), "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+
+    rng = np.random.default_rng(0)
+    for t in range(3):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        for cam in ("02", "03"):
+            Image.fromarray(img).save(
+                os.path.join(dpath, f"image_{cam}", "data", f"{t:010d}.png"))
+        cloud = _cloud(3000, t).astype(np.float32)
+        cloud.tofile(os.path.join(dpath, "velodyne_points", "data",
+                                  f"{t:010d}.bin"))
+        oxts = np.zeros(30)
+        oxts[0], oxts[1] = 49.0, 8.0 + t * 1e-6   # slight motion
+        np.savetxt(os.path.join(dpath, "oxts", "data", f"{t:010d}.txt"), oxts)
+
+    split = os.path.join(root, "split")
+    os.makedirs(split, exist_ok=True)
+    for name in ("training.txt", "testing.txt"):
+        with open(os.path.join(split, name), "w") as f:
+            f.write(f"{date}_drive_{drive}_sync\n")
+    return root, split
+
+
+def test_kitti_video_dataset(tmp_path):
+    from depthestimation_tpu.config import config_from_dict
+    from depthestimation_tpu.data.kitti import KittiVideoDataset
+
+    root, split = _write_mini_kitti(str(tmp_path))
+    cfg = config_from_dict({
+        "data": {"exp_name": "t", "model_name": "base", "loss_name": "base",
+                 "trainer_name": "default", "dataset_path": root,
+                 "dataset_split": split},
+        "var": {"img_size": [128, 64], "crop_w": 64, "t_win": 1,
+                "d_min": 5.0, "d_max": 40.0, "ndepth": 16, "qpower": 1.0,
+                "sigma_soft_max": 10.0, "feature_dim": 16, "softce": 0.3,
+                "nmode": "exp7", "bn_avg": False},
+        "train": {"batch_size": 1, "lr": 1e-4, "epoch_num": 1, "n_gpu": 1,
+                  "optim": "adam"},
+    })
+    ds = KittiVideoDataset(cfg, split="train")
+    assert ds.n_trajectories() == 1
+    assert ds.traj_len(0) == 3
+    s = ds.frame(0, 1)
+    assert s.get("success", True), s
+    assert s["rgb_left"].shape == (2, 3, 64, 64)
+    assert s["dmap_left"].shape == (16, 16)
+    assert s["dmap_up_left"].shape == (64, 64)
+    assert (s["dmap_up_left"] > 0).sum() > 50
+    assert s["pose_left"].shape == (2, 4, 4)
+    np.testing.assert_allclose(s["pose_left"][-1], np.eye(4), atol=1e-5)
+    # stereo baseline encoded in T_left2right
+    assert abs(s["T_left2right"][0, 3] - (-3.87)) < 1e-3
+
+    # through the scheduler + assembler
+    sched = BatchScheduler(ds, 1, shuffle=False, prefetch=False)
+    batch = next(iter(sched.enumerate()))
+    mi, gt = assemble_inputs(batch, "left")
+    assert mi["rgb"].shape == (1, 2, 3, 64, 64)
+    assert mi["unit_ray"].shape == (1, 3, 16 * 16)
+
+
+def test_scheduler_video_order():
+    ds = SyntheticStereoVideoDataset(n_traj=2, traj_len=3, h=32, w=48,
+                                    ndepth=8)
+    sched = BatchScheduler(ds, 2, shuffle=False, prefetch=False)
+    frames = [b["frame_count"] for b in sched.enumerate()]
+    assert frames == [0, 1, 2]

@@ -59,6 +59,10 @@ def build_loaders(cfg, use_synthetic: bool):
                                                traj_len=4, seed=1, **common)
         val_ds = SyntheticStereoVideoDataset(n_traj=bs, traj_len=2, seed=2,
                                              **common)
+    elif "ilim" in cfg.data.dataset_split or "sweep" in cfg.data.dataset_split:
+        from depthestimation_tpu.data.ilim import IlimVideoDataset
+        train_ds = IlimVideoDataset(cfg, split="train")
+        val_ds = IlimVideoDataset(cfg, split="test")
     else:
         from depthestimation_tpu.data.kitti import KittiVideoDataset
         train_ds = KittiVideoDataset(cfg, split="train")
