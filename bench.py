@@ -27,20 +27,34 @@ WARMUP = 3
 
 def bench_jax() -> float:
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import entry
 
     fn, (variables, mi) = entry()
-    jfn = jax.jit(fn)
-    out = jfn(variables, mi)
-    jax.block_until_ready(out)
+
+    # Chain iterations through the input so every call is a distinct
+    # execution (the remote TPU runtime dedupes identical dispatches, which
+    # would otherwise fake the measurement), while keeping the loop
+    # pipelined (single block at the end) so host sync latency is excluded.
+    def step(m):
+        out = fn(variables, m)
+        feedback = jnp.sum(out["output_refined"][-1]) * 1e-12
+        m = dict(m)
+        m["rgb"] = m["rgb"] + feedback
+        return m
+
+    jstep = jax.jit(step)
+    m = jstep(mi)
+    jax.block_until_ready(m)
     for _ in range(WARMUP):
-        jax.block_until_ready(jfn(variables, mi))
+        m = jstep(m)
+    jax.block_until_ready(m)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = jfn(variables, mi)
-    jax.block_until_ready(out)
+        m = jstep(m)
+    jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH / dt
 

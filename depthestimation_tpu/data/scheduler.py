@@ -66,10 +66,18 @@ class BatchScheduler:
             tlen = min(self.dataset.traj_len(i) for i in trajs)
             for t in range(tlen):
                 frames = [self.dataset.frame(i, t) for i in trajs]
+                # corrupted-sample protocol (reference kitti.py:991-1000):
+                # a frame may come back {"success": False}; mark the batch
+                # invalid so the trainer can skip it
+                if any(not f.get("success", True) for f in frames):
+                    yield {"is_valid": False, "frame_count": t,
+                           "traj_len": tlen, "batch_idx": batch_idx,
+                           "nbatch": nbatch, "iepoch": self._epoch}
+                    continue
                 batch = _stack_frames(frames)
                 batch.update({"frame_count": t, "traj_len": tlen,
                               "batch_idx": batch_idx, "nbatch": nbatch,
-                              "iepoch": self._epoch})
+                              "iepoch": self._epoch, "is_valid": True})
                 yield batch
         self._epoch += 1
 

@@ -7,6 +7,8 @@ depth axis (reference models/models.py:377-439).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -17,23 +19,30 @@ class Base3D(nn.Module):
     feature_dim: int = 32
     dres_count: int = 4
     bn_avg: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, volume, train: bool = True, prob: bool = True):
-        x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg)(volume, train)
+        x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
+                     dtype=self.dtype)(volume, train)
         x = nn.relu(x)
-        x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg)(x, train)
+        x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
+                     dtype=self.dtype)(x, train)
         x = nn.relu(x)
 
         for _ in range(self.dres_count):
-            y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg)(x, train)
+            y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
+                         dtype=self.dtype)(x, train)
             y = nn.relu(y)
-            y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg)(y, train)
+            y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
+                         dtype=self.dtype)(y, train)
             x = y + x
 
-        x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg)(x, train)
+        x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
+                     dtype=self.dtype)(x, train)
         x = nn.relu(x)
-        x = Conv3d(1, 3, 1, 1, use_bias=False)(x)   # [B, D, H, W, 1]
+        x = Conv3d(1, 3, 1, 1, use_bias=False, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)                   # [B, D, H, W, 1]
         x = x[..., 0]                                # [B, D, H, W]
 
         if prob:

@@ -29,6 +29,7 @@ from depthestimation_tpu.models.decoder import BaseDecoder
 from depthestimation_tpu.models.encoder import BaseEncoder
 from depthestimation_tpu.models.layers import Conv, avg_pool, leaky_relu, max_pool
 from depthestimation_tpu.ops.plane_sweep import (
+    plane_sweep_and_warp,
     plane_sweep_volume,
     warp_feature_volume,
 )
@@ -51,17 +52,18 @@ class BaseModelNet(nn.Module):
     sigma_soft_max: float = 10.0
     diffhomo: bool = True
     use_lc_prob: float = 0.7
+    dtype: Any = None     # bf16 conv compute when set (params stay f32)
 
     def setup(self):
-        self.base_encoder = BaseEncoder(self.feature_dim, self.bn_avg)
-        self.base_decoder = BaseDecoder(self.d)
-        self.conv0 = Conv(self.d, 3, 1, 1)
-        self.conv0_1 = Conv(self.d, 3, 1, 1)
-        self.conv0_2 = Conv(self.d, 3, 1, 1)
-        if self.nmode in ("exp3", "exp4"):
-            self.based_3d = Base3D(feature_dim=32, dres_count=2, bn_avg=self.bn_avg)
-        elif self.nmode in ("exp6", "exp7", "exp7_lc", "lc"):
-            self.based_3d = Base3D(feature_dim=32, dres_count=2, bn_avg=self.bn_avg)
+        self.base_encoder = BaseEncoder(self.feature_dim, self.bn_avg,
+                                        dtype=self.dtype)
+        self.base_decoder = BaseDecoder(self.d, dtype=self.dtype)
+        self.conv0 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
+        self.conv0_1 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
+        self.conv0_2 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
+        if self.nmode in ("exp3", "exp4", "exp6", "exp7", "exp7_lc", "lc"):
+            self.based_3d = Base3D(feature_dim=32, dres_count=2,
+                                   bn_avg=self.bn_avg, dtype=self.dtype)
 
     # -- shared encoder path --------------------------------------------
 
@@ -108,13 +110,30 @@ class BaseModelNet(nn.Module):
                                   model_input["intrinsics"],
                                   model_input["unit_ray"])   # [B, T, D, h, w]
 
+    def _fused_sweep(self, feat_all, feat_raw, model_input):
+        """Fused cost volume + diagonal warp (shared gathers; see
+        ops.plane_sweep.plane_sweep_and_warp). Returns
+        (cost [B, D, h, w], warped [B, T, D, h, w])."""
+        d_candi = model_input["d_candi"]
+        fa = _nchw(feat_all)
+        fr = _nchw(feat_raw)
+
+        def per_item(fa_i, fr_i, poses_i, intr_i, rays_i):
+            return plane_sweep_and_warp(
+                fa_i, fr_i, d_candi, poses_i[:, :3, :3], poses_i[:, :3, 3],
+                intr_i, rays_i, self.sigma_soft_max)
+
+        return jax.vmap(per_item)(fa, fr, model_input["src_cam_poses"],
+                                  model_input["intrinsics"],
+                                  model_input["unit_ray"])
+
     def _bv_head(self, cost):
         """conv0 stack + log_softmax -> low-res log DPV [B, h, w, D]."""
         x = _nhwc(cost)
         x = leaky_relu(self.conv0(x))
         x = leaky_relu(self.conv0_1(x))
         x = self.conv0_2(x)
-        return nn.log_softmax(x, axis=-1)
+        return nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
     def _prev_or_uniform(self, prev, shape):
         """prev (log DPV [B, D, h, w]) or log-uniform."""
@@ -130,8 +149,14 @@ class BaseModelNet(nn.Module):
         feat1, feat_raw, feat_all = self._encode(model_input, train)
         rgb_last = _nhwc(model_input["rgb"][:, -1])          # [B, H, W, 3]
 
+        warped = None
         if self.diffhomo:
-            cost = self._cost_volume(feat_all, model_input)
+            if nmode in ("exp3", "exp7", "exp7_lc"):
+                # fused path: cost volume + diagonal warp share gathers
+                cost, warped = self._fused_sweep(feat_all, feat_raw,
+                                                 model_input)
+            else:
+                cost = self._cost_volume(feat_all, model_input)
         else:
             cost = _nchw(feat_all[:, -1, :, :, :-3])
 
@@ -157,7 +182,8 @@ class BaseModelNet(nn.Module):
                     "flow": None, "flow_refined": None}
 
         if nmode == "exp3":
-            warped = self._warped_features(feat_raw, model_input)
+            if warped is None:
+                warped = self._warped_features(feat_raw, model_input)
             vol = jnp.concatenate([_nchw(bv)[:, None], warped], axis=1)
             bv_upd = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=True)
             refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
@@ -166,7 +192,8 @@ class BaseModelNet(nn.Module):
                     "flow": None, "flow_refined": None}
 
         if nmode in ("exp7", "exp7_lc"):
-            warped = self._warped_features(feat_raw, model_input)
+            if warped is None:
+                warped = self._warped_features(feat_raw, model_input)
             bv_nchw = _nchw(bv)
             prev_output = self._prev_or_uniform(
                 model_input.get("prev_output"), bv_nchw.shape)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from typing import Any
+
 from depthestimation_tpu.models.layers import BatchNorm, Conv, ConvBN, avg_pool
 from depthestimation_tpu.ops.resample import resize_bilinear_align_corners
 
@@ -22,16 +24,18 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     downsample: bool = False
     bn_avg: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         out = ConvBN(self.planes, 3, self.stride, self.pad, self.dilation,
-                     self.bn_avg)(x, train)
+                     self.bn_avg, dtype=self.dtype)(x, train)
         out = nn.relu(out)
         out = ConvBN(self.planes, 3, 1, self.pad, self.dilation,
-                     self.bn_avg)(out, train)
+                     self.bn_avg, dtype=self.dtype)(out, train)
         if self.downsample:
-            x = Conv(self.planes, 1, self.stride, 0, use_bias=False)(x)
+            x = Conv(self.planes, 1, self.stride, 0, use_bias=False,
+                     dtype=self.dtype)(x)
             x = BatchNorm(self.bn_avg)(x, train)
         return out + x
 
@@ -44,15 +48,18 @@ class _Stage(nn.Module):
     dilation: int
     in_planes: int
     bn_avg: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         need_ds = self.stride != 1 or self.in_planes != self.planes
         x = BasicBlock(self.planes, self.stride, self.pad, self.dilation,
-                       downsample=need_ds, bn_avg=self.bn_avg)(x, train)
+                       downsample=need_ds, bn_avg=self.bn_avg,
+                       dtype=self.dtype)(x, train)
         for _ in range(1, self.blocks):
             x = BasicBlock(self.planes, 1, self.pad, self.dilation,
-                           downsample=False, bn_avg=self.bn_avg)(x, train)
+                           downsample=False, bn_avg=self.bn_avg,
+                           dtype=self.dtype)(x, train)
         return x
 
 
@@ -61,6 +68,7 @@ class BaseEncoder(nn.Module):
     features [B,H/4,W/4,feature_dim])."""
     feature_dim: int = 32
     bn_avg: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -69,20 +77,24 @@ class BaseEncoder(nn.Module):
 
         # stem: stride-2 conv + 2 convs
         for i, stride in enumerate((2, 1, 1)):
-            x = ConvBN(s1, 3, stride, 1, 1, self.bn_avg)(x, train)
+            x = ConvBN(s1, 3, stride, 1, 1, self.bn_avg, dtype=self.dtype)(x, train)
             x = nn.relu(x)
 
-        out1 = _Stage(s1, 3, 1, 1, 1, in_planes=s1, bn_avg=self.bn_avg)(x, train)
-        raw = _Stage(s2, s0, 2, 1, 1, in_planes=s1, bn_avg=self.bn_avg)(out1, train)
-        l3 = _Stage(s3, 3, 1, 1, 1, in_planes=s2, bn_avg=self.bn_avg)(raw, train)
-        skip = _Stage(s3, 3, 1, 1, 2, in_planes=s3, bn_avg=self.bn_avg)(l3, train)
+        out1 = _Stage(s1, 3, 1, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
+                      dtype=self.dtype)(x, train)
+        raw = _Stage(s2, s0, 2, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
+                     dtype=self.dtype)(out1, train)
+        l3 = _Stage(s3, 3, 1, 1, 1, in_planes=s2, bn_avg=self.bn_avg,
+                    dtype=self.dtype)(raw, train)
+        skip = _Stage(s3, 3, 1, 1, 2, in_planes=s3, bn_avg=self.bn_avg,
+                      dtype=self.dtype)(l3, train)
 
         h, w = skip.shape[1], skip.shape[2]
         branches = []
         for win in (64, 32, 16, 8):
             win_eff = min(win, h, w)
             b = avg_pool(skip, win_eff)
-            b = ConvBN(s1, 1, 1, 0, 1, self.bn_avg)(b, train)
+            b = ConvBN(s1, 1, 1, 0, 1, self.bn_avg, dtype=self.dtype)(b, train)
             b = nn.relu(b)
             b = jnp.moveaxis(
                 resize_bilinear_align_corners(jnp.moveaxis(b, -1, 1), (h, w)),
@@ -90,7 +102,8 @@ class BaseEncoder(nn.Module):
             branches.append(b)
 
         feat = jnp.concatenate([raw, skip] + branches[::-1], axis=-1)
-        feat = ConvBN(s3, 3, 1, 1, 1, self.bn_avg)(feat, train)
+        feat = ConvBN(s3, 3, 1, 1, 1, self.bn_avg, dtype=self.dtype)(feat, train)
         feat = nn.relu(feat)
-        feat = Conv(self.feature_dim, 1, 1, 0, use_bias=False)(feat)
+        feat = Conv(self.feature_dim, 1, 1, 0, use_bias=False,
+                    dtype=self.dtype)(feat)
         return out1, raw, feat

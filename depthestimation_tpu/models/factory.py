@@ -2,11 +2,16 @@
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from depthestimation_tpu.models.base_model import BaseModelNet, DefaultModel
+
+_DTYPES = {"float32": None, "bfloat16": jnp.bfloat16}
 
 
 def get_model(cfg):
     name = cfg.data.model_name
+    dtype = _DTYPES.get(cfg.get("tpu", {}).get("dtype", "float32"))
     if name == "base":
         return BaseModelNet(
             feature_dim=cfg.var.feature_dim,
@@ -16,6 +21,7 @@ def get_model(cfg):
             sigma_soft_max=cfg.var.sigma_soft_max,
             diffhomo=cfg.var.get("diffhomo", True),
             use_lc_prob=cfg.lc.get("use_lc_prob", 0.7),
+            dtype=dtype,
         )
     if name == "default":
         return DefaultModel(d=cfg.var.ndepth)

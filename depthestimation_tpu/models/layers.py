@@ -9,7 +9,7 @@ bilinear kernels for transposed convs) so hyper-parameters transfer 1:1.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -48,7 +48,9 @@ def bilinear_kernel_init():
 
 
 class Conv(nn.Module):
-    """2D conv, torch geometry: explicit symmetric padding."""
+    """2D conv, torch geometry: explicit symmetric padding. ``dtype``
+    selects the compute precision (bf16 halves HBM traffic and doubles MXU
+    rate; params stay f32)."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -56,6 +58,7 @@ class Conv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     kernel_init: Callable = fanout_normal_init()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -68,26 +71,56 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(x)
 
 
 class Conv3d(nn.Module):
-    """3D conv over [B, D, H, W, C], torch geometry."""
+    """3D conv over [B, D, H, W, C], torch geometry.
+
+    XLA's native Conv3D is ~14x slower than its mathematically identical
+    2D unrolling on TPU v5e, so for the common stride-1 'same' case the op
+    is lowered to ONE 2D conv over D-shifted channel stacks:
+        out[d] = conv2d(concat(x[d-1], x[d], x[d+1]), [k, k, kd*C, F]).
+    Parameters keep the torch-compatible [kd, kh, kw, C, F] shape.
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         k, p, s = self.kernel_size, self.padding, self.stride
-        return nn.Conv(
-            self.features, (k, k, k), strides=(s, s, s),
-            padding=((p, p),) * 3, use_bias=self.use_bias,
-            kernel_init=fanout_normal_init(),
-            bias_init=nn.initializers.zeros,
-        )(x)
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", fanout_normal_init(),
+                            (k, k, k, in_ch, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        if s == 1 and p == k // 2:
+            b, d, h, w, c = x.shape
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+            xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0), (0, 0)))
+            stack = jnp.concatenate([xp[:, i:i + d] for i in range(k)],
+                                    axis=-1)          # [B, D, H, W, k*C]
+            k2 = jnp.concatenate([kernel[i] for i in range(k)], axis=2)
+            y = jax.lax.conv_general_dilated(
+                stack.reshape(b * d, h, w, k * c), k2, (1, 1),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(b, d, h, w, self.features)
+        else:  # rare general case: fall back to native Conv3D
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (s, s, s), ((p, p),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class ConvTranspose(nn.Module):
@@ -100,6 +133,7 @@ class ConvTranspose(nn.Module):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = bilinear_kernel_init()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -107,6 +141,9 @@ class ConvTranspose(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, in_ch, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         # conv_transpose(x, w) == conv(dilate_s(x), flip(w)), pad = k - 1 - p
         flipped = kernel[::-1, ::-1]
         pad = k - 1 - p
@@ -152,6 +189,7 @@ class BatchNorm(nn.Module):
             ra_var = self.variable("batch_stats", "var",
                                    lambda: jnp.ones((c,), jnp.float32))
 
+        x = x.astype(jnp.float32)  # BN statistics always in f32
         if train or not self.track_running_stats:
             mean = jnp.mean(x, axis=axes)
             var = jnp.mean(jnp.square(x - mean), axis=axes)
@@ -180,12 +218,13 @@ class ConvBN(nn.Module):
     pad: int
     dilation: int = 1
     bn_running_avg: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         p = self.dilation if self.dilation > 1 else self.pad
         x = Conv(self.features, self.kernel_size, self.stride, p,
-                 self.dilation, use_bias=False)(x)
+                 self.dilation, use_bias=False, dtype=self.dtype)(x)
         return BatchNorm(self.bn_running_avg)(x, train)
 
 
@@ -196,11 +235,12 @@ class ConvBN3d(nn.Module):
     stride: int
     pad: int
     bn_running_avg: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv3d(self.features, self.kernel_size, self.stride, self.pad,
-                   use_bias=False)(x)
+                   use_bias=False, dtype=self.dtype)(x)
         return BatchNorm(self.bn_running_avg)(x, train)
 
 

@@ -201,6 +201,11 @@ class DefaultTrainer:
         t0 = time.time()
         losses = []
         for batch in self.train_loader.enumerate():
+            if not batch.get("is_valid", True):
+                self._log.info(self.id, "Corrupted Data! Skipping batch "
+                               f"{batch['batch_idx']+1} frame "
+                               f"{batch['frame_count']+1}")
+                continue
             if batch["frame_count"] == 0:
                 self.prev_output = {"left": None, "right": None}
                 self.prev_lc = {"left": None, "right": None}
@@ -251,6 +256,9 @@ class DefaultTrainer:
         errors, errors_refined, errors_unc = [], [], []
         d_candi = jnp.asarray(self.d_candi, jnp.float32)
         for batch in self.val_loader.enumerate():
+            if not batch.get("is_valid", True):
+                self._log.info(self.id, "Corrupted Data! Skipping val batch")
+                continue
             if batch["frame_count"] == 0:
                 self.prev_output = {"left": None, "right": None}
                 self.prev_lc = {"left": None, "right": None}
@@ -314,10 +322,24 @@ class DefaultTrainer:
                 self.foutput.setdefault(name, []).append(float(value))
             with open(json_loc, "w") as f:
                 json.dump(self.foutput, f)
+            self._tensorboard(error_keys, error_list)
         self.first_run = False
         self._log.info(self.id, "Val: " + ", ".join(
             f"{k}={v:.4f}" for k, v in zip(error_keys, error_list)))
         return error_list, error_keys
+
+    def _tensorboard(self, keys, values):
+        """Optional tensorboard scalars (reference default_trainer.py:
+        389-393); silently off when no writer backend is available."""
+        try:
+            if not hasattr(self, "_tb"):
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(self.save_root, "tb"))
+            for k, v in zip(keys, values):
+                self._tb.add_scalar(k, float(v), self.i_epoch)
+            self._tb.flush()
+        except Exception:
+            self._tb = None
 
     def save_model(self, rmse_refined: float):
         if self.id != 0 or self.state is None:
