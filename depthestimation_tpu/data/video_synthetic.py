@@ -105,6 +105,32 @@ class SyntheticStereoVideoDataset:
         return sample
 
 
+class SyntheticSweepVideoDataset(SyntheticStereoVideoDataset):
+    """Adds recorded-sweep tensors (feat_int/feat_z per 128 planes) derived
+    from the GT depth — the synthetic stand-in for the sweep dataset
+    consumed by SweepModel/SweepLoss and lc_process_real."""
+
+    def __init__(self, *args, planes: int = 32, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.planes = planes
+
+    def frame(self, i: int, t: int) -> dict:
+        sample = super().frame(i, t)
+        from depthestimation_tpu.runtime.sensor_sampling import (
+            synthesize_sweep,
+        )
+        for side in ("left", "right"):
+            z, inten = synthesize_sweep(sample[f"dmap_up_{side}"],
+                                        float(self.d_candi[0]),
+                                        float(self.d_candi[-1]),
+                                        planes=self.planes)
+            sample[f"feat_z_{side}"] = z
+            sample[f"feat_int_{side}"] = inten
+            sample[f"sweep_mask_{side}"] = (
+                sample[f"dmap_up_{side}"] > 0).astype(np.float32)[None]
+        return sample
+
+
 def assemble_inputs(batch: dict, camside: str, stereo: bool = False):
     """Stacked scheduler batch -> (model_input, gt_input) numpy dicts — the
     ``generate_model_input``/``generate_stereo_input`` contract
@@ -151,4 +177,12 @@ def assemble_inputs(batch: dict, camside: str, stereo: bool = False):
         "d_candi": batch["d_candi"],
         "T_left2right": batch["T_left2right"],
     }
+    # optional recorded-sweep tensors (sweep dataset / SweepLoss)
+    if f"feat_int_{camside}" in batch:
+        gt_input["feat_int_tensor"] = batch[f"feat_int_{camside}"]
+        gt_input["feat_z_tensor"] = batch[f"feat_z_{camside}"]
+        gt_input["mask_tensor"] = batch[f"sweep_mask_{camside}"]
+        model_input["sweep_arr_tensor"] = np.stack(
+            [batch[f"feat_z_{camside}"], batch[f"feat_int_{camside}"]],
+            axis=-1)
     return model_input, gt_input

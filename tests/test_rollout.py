@@ -1,0 +1,66 @@
+"""In-graph video rollout test: scan over frames matches the Python loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthestimation_tpu.data.scheduler import BatchScheduler
+from depthestimation_tpu.data.video_synthetic import (
+    SyntheticStereoVideoDataset,
+    assemble_inputs,
+)
+from depthestimation_tpu.models import get_model
+from depthestimation_tpu.models.rollout import make_rollout
+from tests.test_models import BASE_CFG
+from depthestimation_tpu.config import config_from_dict
+
+
+def test_rollout_matches_python_loop():
+    cfg = config_from_dict(BASE_CFG)
+    cfg.var.nmode = "exp7"
+    # tame the cost-volume logits: with random init the raw L2 costs are
+    # O(100), making log_softmax chaotic under float reassociation (jit vs
+    # eager programs legitimately differ); a large sigma keeps the function
+    # well-conditioned so scan-vs-loop equivalence is meaningful
+    cfg.var.sigma_soft_max = 10000.0
+    model = get_model(cfg)
+
+    ds = SyntheticStereoVideoDataset(n_traj=1, traj_len=3, h=64, w=96,
+                                     ndepth=32)
+    sched = BatchScheduler(ds, 1, shuffle=False, prefetch=False)
+    frames = []
+    for batch in sched.enumerate():
+        mi, _ = assemble_inputs(batch, "left")
+        frames.append(mi)
+
+    per_frame_keys = ("rgb", "src_cam_poses", "dmaps", "masks", "dmaps_up")
+    static = {k: jnp.asarray(v) for k, v in frames[0].items()
+              if k not in per_frame_keys + ("prev_output", "prev_lc",
+                                            "d_candi", "d_candi_up")}
+    static["d_candi"] = frames[0]["d_candi"]
+    static["d_candi_up"] = frames[0]["d_candi_up"]
+    stacked = {k: jnp.asarray(np.stack([f[k] for f in frames]))
+               for k in per_frame_keys}
+
+    rngs = {"params": jax.random.PRNGKey(0), "lc_drop": jax.random.PRNGKey(1)}
+    mi0 = dict(frames[0])
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(rngs, mi0)
+
+    rollout = jax.jit(make_rollout(model))
+    out = rollout(variables, stacked, static)
+    assert out["output_refined"].shape == (3, 1, 32, 64, 96)
+
+    # jitted per-frame oracle (eager mode compiles each op separately and
+    # legitimately differs in float reassociation; compiled-vs-compiled the
+    # scan must match the loop exactly)
+    single = jax.jit(lambda v, m: model.apply(v, m, train=False))
+    prev = jnp.full((1, 32, 16, 24), jnp.log(1.0 / 32), jnp.float32)
+    for t, f in enumerate(frames):
+        mi = dict(f)
+        mi["prev_output"] = prev
+        mi["prev_lc"] = None
+        o = single(variables, mi)
+        prev = o["output_refined"][-1][:, :, ::4, ::4]
+        np.testing.assert_allclose(np.asarray(out["output_refined"][t]),
+                                   np.asarray(o["output_refined"][-1]),
+                                   atol=1e-5)
