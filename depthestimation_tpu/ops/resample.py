@@ -33,7 +33,10 @@ def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
 
     Returns [C, ...] sampled values (zeros outside the image).
 
-    Batched use: ``jax.vmap(grid_sample)`` over leading axes.
+    TPU notes: taps are gathers into a 1-px zero-padded ``[C, (H+2)(W+2)]``
+    layout (the fast gather form, ~6 ns/index) and border masks are folded
+    into per-sample SCALAR weights — [C, N]-shaped select chains are ~10x
+    slower. Batched use: ``jax.vmap(grid_sample)`` over leading axes.
     """
     c, h, w = img.shape
     out_shape = grid.shape[:-1]
@@ -41,35 +44,32 @@ def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
     x = _unnormalize(g[:, 0], w, align_corners)
     y = _unnormalize(g[:, 1], h, align_corners)
 
-    flat = img.reshape((c, h * w))
+    wp = w + 2
+    flat = jnp.pad(img, ((0, 0), (1, 1), (1, 1))).reshape(c, (h + 2) * wp)
 
-    def gather(iy, ix):
-        """Zero-padded gather at integer pixel coords [N]."""
-        inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        iyc = jnp.clip(iy, 0, h - 1)
-        ixc = jnp.clip(ix, 0, w - 1)
-        vals = jnp.take(flat, iyc * w + ixc, axis=1)  # [C, N]
-        return jnp.where(inside[None, :], vals, 0.0)
+    def tap(ix, iy, weight):
+        valid = (ix >= -1) & (ix <= w) & (iy >= -1) & (iy <= h)
+        ixc = jnp.clip(ix + 1, 0, wp - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy + 1, 0, h + 1).astype(jnp.int32)
+        wt = jnp.where(valid, weight, 0.0).astype(img.dtype)
+        return jnp.take(flat, iyc * wp + ixc, axis=1) * wt[None]
 
     if mode == "nearest":
-        # torch rounds half away from... actually uses round-half-even via
-        # std::nearbyint; floor(x+0.5) differs only on exact .5 ties.
-        ix = jnp.floor(x + 0.5).astype(jnp.int32)
-        iy = jnp.floor(y + 0.5).astype(jnp.int32)
-        out = gather(iy, ix)
+        ix = jnp.floor(x + 0.5)
+        iy = jnp.floor(y + 0.5)
+        # exact-pixel "weight" 1, but outside-image must still read as zero —
+        # the padded ring only covers 1 px, so keep the validity fold
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        out = tap(ix, iy, valid.astype(img.dtype))
     elif mode == "bilinear":
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        wx = (x - x0).astype(img.dtype)
-        wy = (y - y0).astype(img.dtype)
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        v00 = gather(y0i, x0i)
-        v01 = gather(y0i, x0i + 1)
-        v10 = gather(y0i + 1, x0i)
-        v11 = gather(y0i + 1, x0i + 1)
-        out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-               + v10 * wy * (1 - wx) + v11 * wy * wx)
+        fx = (x - x0).astype(img.dtype)
+        fy = (y - y0).astype(img.dtype)
+        out = (tap(x0, y0, (1 - fx) * (1 - fy))
+               + tap(x0 + 1, y0, fx * (1 - fy))
+               + tap(x0, y0 + 1, (1 - fx) * fy)
+               + tap(x0 + 1, y0 + 1, fx * fy))
     else:
         raise ValueError(f"unknown mode {mode!r}")
 

@@ -26,7 +26,8 @@ def _path(save_root: str, name: str) -> str:
 def save_checkpoint(save_root: str, exp_name: str, state: Any, epoch: int,
                     is_best: bool = False):
     ckptr = ocp.StandardCheckpointer()
-    payload = {"state": jax.device_get(state), "epoch": np.int32(epoch)}
+    payload = {"state": jax.device_get(state),
+               "epoch": np.asarray(epoch, np.int32)}
     path = _path(save_root, f"{exp_name}_ckpt")
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -46,7 +47,8 @@ def load_checkpoint(save_root: str, exp_name: str, target_state: Any,
     path = _path(save_root, name)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(
-        path, {"state": jax.device_get(target_state), "epoch": np.int32(0)})
+        path, {"state": jax.device_get(target_state),
+               "epoch": np.asarray(0, np.int32)})
     return payload["state"], int(payload["epoch"])
 
 

@@ -88,6 +88,8 @@ class DefaultTrainer:
         self.lc = None
         if cfg.lc.enabled:
             self.lc = LightCurtain()
+        self.video_path = None
+        self._video = None
 
         os.makedirs(save_root, exist_ok=True)
 
@@ -247,10 +249,22 @@ class DefaultTrainer:
                                f"{self.cfg.train.epoch_num}, "
                                f"loss={losses[-1]:.5f}")
 
+        self._epoch_end_vote()
         self.i_epoch += 1
         self._log.info(self.id, f"Epoch done in {time.time()-t0:.1f}s, "
                                 f"mean loss {np.mean(losses):.5f}")
         return float(np.mean(losses)) if losses else float("nan")
+
+    def _epoch_end_vote(self):
+        """Multi-host early-stop handshake for uneven data shards — the
+        psum equivalent of the reference's dist.all_reduce signal vote
+        (default_trainer.py:122-130, 209-214). With per-host trajectory
+        sharding hosts may finish at different steps; this synchronizes the
+        epoch boundary."""
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental.multihost_utils import sync_global_devices
+        sync_global_devices(f"epoch_{self.i_epoch}")
 
     def _validate_with_gt(self):
         errors, errors_refined, errors_unc = [], [], []
@@ -285,6 +299,9 @@ class DefaultTrainer:
             dpv_ref = out["output_refined"][-1]
             depth = dpv_ops.dpv_to_depthmap(dpv, d_candi, log=True)
             depth_ref = dpv_ops.dpv_to_depthmap(dpv_ref, d_candi, log=True)
+
+            if self.cfg.var.get("viz", False) or self.video_path:
+                self._visualize(mi_l, dgt_l, depth_ref, dpv_ref, d_candi)
 
             for b in range(depth.shape[0]):
                 mask = dgt_l["masks"][b, 0]
@@ -323,10 +340,33 @@ class DefaultTrainer:
             with open(json_loc, "w") as f:
                 json.dump(self.foutput, f)
             self._tensorboard(error_keys, error_list)
+        if self._video is not None:
+            self._video.close()
+            self._video = None
         self.first_run = False
         self._log.info(self.id, "Val: " + ", ".join(
             f"{k}={v:.4f}" for k, v in zip(error_keys, error_list)))
         return error_list, error_keys
+
+    def _visualize(self, mi, gt, depth_ref, dpv_ref, d_candi):
+        """Composite debug panel per frame; appended to the --write_video
+        MP4 when set (default_trainer.py:437-598 equivalent, headless)."""
+        from depthestimation_tpu.ops.ufield import gen_ufield
+        from depthestimation_tpu.utils import visual
+
+        rgb = np.asarray(mi["rgb"][0, -1])
+        uf, _ = gen_ufield(dpv_ref[0], jnp.asarray(d_candi),
+                           jnp.asarray(mi["intrinsics_up"][0]),
+                           self.uf_params, log=True)
+        panel = visual.make_panel(rgb, np.asarray(depth_ref[0]),
+                                  np.asarray(gt["dmap_imgsizes"][0]),
+                                  np.asarray(uf),
+                                  max_depth=float(self.d_candi[-1]))
+        if self.video_path:
+            if self._video is None:
+                self._video = visual.VideoWriter(self.video_path)
+            self._video.append(panel)
+        return panel
 
     def _tensorboard(self, keys, values):
         """Optional tensorboard scalars (reference default_trainer.py:

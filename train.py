@@ -74,8 +74,22 @@ def build_loaders(cfg, use_synthetic: bool):
                            host_id=host_id, n_hosts=n_hosts))
 
 
+def init_distributed():
+    """Multi-host initialization (replaces the reference's mp.spawn/NCCL
+    env:// rendezvous, train.py:92-123): when a JAX coordinator is
+    configured in the environment, join the cluster; single-process
+    otherwise. After this, the mesh in parallel/ spans all hosts and GSPMD
+    routes gradient reductions over ICI/DCN."""
+    import os as _os
+    if _os.environ.get("JAX_COORDINATOR_ADDRESS") or _os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        import jax
+        jax.distributed.initialize()
+
+
 def main(argv=None):
     args = parse_args(argv)
+    init_distributed()
 
     from depthestimation_tpu.config import load_config
     cfg = load_config(args.config)
@@ -122,6 +136,9 @@ def main(argv=None):
         trainer.resume(best=True)
     if args.init_model:
         trainer.load_init_model(args.init_model)
+
+    if args.write_video:
+        trainer.video_path = args.write_video
 
     if args.eval:
         trainer.eval()
