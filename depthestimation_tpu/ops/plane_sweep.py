@@ -36,6 +36,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from depthestimation_tpu.ops.resample import fast_take
+
 
 def _homography_pixels(d_candi, rot, tra, intr, unit_rays):
     """Projected (x, y) pixel coords for all depths of one source view.
@@ -97,7 +99,7 @@ def bilinear_sample_many(img, pix):
     idx, wt = _tap_indices_weights(pix, h, w)         # [4, ...]
     out = 0.0
     for t in range(4):
-        out = out + jnp.take(flat, idx[t], axis=1) * wt[t][None]
+        out = out + fast_take(flat, idx[t]) * wt[t][None]
     return out
 
 
@@ -162,7 +164,7 @@ def plane_sweep_and_warp(feat_all, feat_raw, d_candi, rots, tras, intr,
         acc_cost = 0.0
         acc_diag = 0.0
         for tap in range(4):
-            vals = jnp.take(flat, idx[tap], axis=1)   # [C1+C2, D, HW]
+            vals = fast_take(flat, idx[tap])          # [C1+C2, D, HW]
             acc_cost = acc_cost + vals[:c1] * wt[tap][None]
             # depth plane d takes raw channel d: a strided diagonal slice
             diag = jnp.diagonal(vals[c1:], axis1=0, axis2=1)  # [HW, D]
@@ -199,7 +201,7 @@ def warp_feature_volume(feat_srcs, d_candi, rots, tras, intr, unit_rays):
         flat = _pad_flat(feat_src)                    # [C, HWp]
         out = 0.0
         for t in range(4):
-            vals = jnp.take(flat, idx[t], axis=1)     # [C, D, HW]
+            vals = fast_take(flat, idx[t])            # [C, D, HW]
             diag = jnp.sum(vals * eye[:, :, None], axis=0)    # [D, HW]
             out = out + wt[t] * diag
         return out.reshape(c, h, w)                   # [D, H, W]

