@@ -135,10 +135,14 @@ class BaseModelNet(nn.Module):
         x = self.conv0_2(x)
         return nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
-    def _prev_or_uniform(self, prev, shape):
-        """prev (log DPV [B, D, h, w]) or log-uniform."""
+    def _prev_or_uniform(self, prev, shape, log: bool = True):
+        """prev (log DPV [B, D, h, w]) or a uniform default. The reference's
+        t=0 default is PROBABILITY-uniform for exp7 (models.py:736) but
+        LOG-uniform for exp7_lc/lc (models.py:757,796) — preserved here via
+        ``log``."""
         if prev is None:
-            return jnp.full(shape, jnp.log(1.0 / self.d), jnp.float32)
+            fill = jnp.log(1.0 / self.d) if log else 1.0 / self.d
+            return jnp.full(shape, fill, jnp.float32)
         return prev
 
     # -- forward ----------------------------------------------------------
@@ -196,7 +200,8 @@ class BaseModelNet(nn.Module):
                 warped = self._warped_features(feat_raw, model_input)
             bv_nchw = _nchw(bv)
             prev_output = self._prev_or_uniform(
-                model_input.get("prev_output"), bv_nchw.shape)
+                model_input.get("prev_output"), bv_nchw.shape,
+                log=(nmode == "exp7_lc"))
             planes = [bv_nchw[:, None], prev_output[:, None]]
             if nmode == "exp7_lc":
                 prev_lc = self._drop_prev_lc(
