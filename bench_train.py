@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Training-step benchmark: full jitted step (forward both camsides + loss +
+backward + Adam) on the flagship BaseModel (exp7, KITTI 384x256, D=64) at
+several batch sizes — the number that matters for the reference's
+"batch 8 over 4 GPUs" training workload (BASELINE.md).
+
+Prints one JSON line per batch size plus a summary line; also writes
+benchmarks/bench_train.json.
+
+Run:  python bench_train.py [--batches 1 2 4 8] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_train_step(batch: int, iters: int, warmup: int = 2) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cfg, _sample_input
+    from depthestimation_tpu.losses import get_loss
+    from depthestimation_tpu.models import get_model
+    from depthestimation_tpu.parallel.train_step import (
+        init_state, make_train_step)
+    from depthestimation_tpu.trainer.default import _soft_labels
+
+    cfg = _cfg(batch=batch, nmode="exp7")
+    model = get_model(cfg)
+    loss = get_loss(cfg)
+    mi, gt = _sample_input(cfg, batch=batch)
+
+    state, tx = init_state(model, cfg, mi, jax.random.PRNGKey(0))
+    step = make_train_step(model, loss, tx, donate=True)
+
+    mi = {k: v for k, v in mi.items() if k not in ("prev_output", "prev_lc")}
+    mi["prev_output"] = None
+    mi["prev_lc"] = None
+    gt = dict(gt)
+    d_candi = jnp.asarray(np.asarray(
+        __import__("depthestimation_tpu.ops.dpv", fromlist=["powerf"]).powerf(
+            cfg.var.d_min, cfg.var.d_max, cfg.var.ndepth, cfg.var.qpower)),
+        jnp.float32)
+    gt["soft_labels"] = _soft_labels(gt["dmaps"], gt["masks"], d_candi,
+                                     jnp.float32(0.3), cfg.var.ndepth)
+    gt["soft_labels_imgsize"] = _soft_labels(
+        gt["dmap_imgsizes"], gt["masks_imgsizes"], d_candi, jnp.float32(0.3),
+        cfg.var.ndepth)
+
+    key = jax.random.PRNGKey(1)
+    t_compile = time.perf_counter()
+    state, l, _ = step(state, mi, mi, gt, gt, key)
+    l.block_until_ready()
+    compile_s = time.perf_counter() - t_compile
+
+    for i in range(warmup):
+        state, l, _ = step(state, mi, mi, gt, gt,
+                           jax.random.fold_in(key, i))
+    l.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, l, _ = step(state, mi, mi, gt, gt,
+                           jax.random.fold_in(key, 100 + i))
+    l.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return {"batch": batch, "step_ms": round(dt * 1e3, 2),
+            "frames_per_sec": round(batch / dt, 3),
+            "compile_s": round(compile_s, 1),
+            "loss": round(float(l), 4)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    results = []
+    for b in args.batches:
+        r = bench_train_step(b, args.iters)
+        results.append(r)
+        print(json.dumps({"metric": f"train_step_b{b}_kitti_384x256_d64",
+                          "value": r["frames_per_sec"],
+                          "unit": "frames/sec", "step_ms": r["step_ms"]}),
+              flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchmarks", "bench_train.json")
+    json.dump(results, open(out, "w"), indent=1)
+    if len(results) >= 2:
+        scaling = results[-1]["frames_per_sec"] / results[0]["frames_per_sec"]
+        print(json.dumps({"metric": "train_batch_scaling"
+                          f"_b{results[0]['batch']}_to_b{results[-1]['batch']}",
+                          "value": round(scaling, 3), "unit": "x"}))
+
+
+if __name__ == "__main__":
+    main()

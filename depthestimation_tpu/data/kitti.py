@@ -181,10 +181,12 @@ class KittiDrive:
 
 
 def read_split(split_dir: str, mode: str) -> list:
-    """training.txt / testing.txt scene lists (kittiloader/k1 etc.)."""
+    """training.txt / testing.txt scene lists (kittiloader/k1 etc.).
+    Blank lines and '#' comments are skipped."""
     fname = "training.txt" if mode == "train" else "testing.txt"
     with open(os.path.join(split_dir, fname)) as f:
-        return [x.strip() for x in f if x.strip()]
+        return [x.strip() for x in f
+                if x.strip() and not x.lstrip().startswith("#")]
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,9 @@ class LightCurtain:
         }
         laser_large = {"lTc": PARAMS["lTc"], "fov": PARAMS["laser_fov"],
                        "laser_timestep": PARAMS["laser_timestep"]}
+        for k in ("beam_width", "beam_divergence", "max_omega", "sin_clip"):
+            if k in PARAMS:
+                laser_large[k] = PARAMS[k]
         laser_small = dict(laser_large, laser_timestep=PARAMS["laser_timestep"] * 4)
 
         PARAMS["intr_rgb_small"] = intr_scale_unit(PARAMS["intr_rgb"], 0.25)
@@ -193,57 +196,74 @@ class LightCurtain:
     # -- planners ----------------------------------------------------------
 
     def plan_default(self, field, planner: PlannerRT, fw: FieldWarp, kw: str,
-                     cfg: dict):
-        """Returns [1 + 2*len(step), C, 2] design points."""
-        field_z, field_range = self._prepare_field(field, fw, kw)
-        field_range = _fix_sides(field_range)
-        pts_main = planner.get_design_points(field_range)
+                     cfg: dict, yield_mode: bool = False):
+        """Returns [1 + 2*len(step), C, 2] design points.
 
-        # per-ray peak split (vectorized; reference loops: lines 696-703)
-        idx = jnp.argmax(field_range, axis=0)                     # [C]
-        rows = jnp.arange(field_range.shape[0])[:, None]
-        left = jnp.where(rows < idx[None, :], 1.0, field_range)
-        right = jnp.where(rows >= idx[None, :], 1.0, field_range)
+        ``yield_mode=True`` returns a generator producing one path at a time
+        (each its own DP dispatch) so a real device can expose curtain i
+        while path i+1 is being planned — the reference's streaming planner
+        contract (light_curtain.py:376-394, ros_all.py:411)."""
+        def gen():
+            field_z, field_range = self._prepare_field(field, fw, kw)
+            fr = _fix_sides(field_range)
+            yield planner.get_design_points(fr)
 
-        paths = [pts_main]
-        for pval in cfg["step"]:
-            paths.append(planner.get_design_points(invert_curve(left, pval)))
-            paths.append(planner.get_design_points(invert_curve(right, pval)))
-        return jnp.stack(paths)
+            # per-ray peak split (vectorized; reference loops: lines 696-703)
+            idx = jnp.argmax(fr, axis=0)                          # [C]
+            rows = jnp.arange(fr.shape[0])[:, None]
+            left = jnp.where(rows < idx[None, :], 1.0, fr)
+            right = jnp.where(rows >= idx[None, :], 1.0, fr)
+            for pval in cfg["step"]:
+                yield planner.get_design_points(invert_curve(left, pval))
+                yield planner.get_design_points(invert_curve(right, pval))
+
+        if yield_mode:
+            return gen()
+        return jnp.stack(list(gen()))
 
     def plan_m1(self, field, planner: PlannerRT, fw: FieldWarp, kw: str,
-                cfg: dict, key: jax.Array):
+                cfg: dict, key: jax.Array, yield_mode: bool = False):
         """Sampling planner: [1 + step, C, 2]."""
-        field_z, field_range = self._prepare_field(field, fw, kw,
-                                                   normalize=False)
-        field_range = _fix_sides(field_range)
-        paths = [planner.get_design_points(field_range)]
+        def gen():
+            field_z, field_range = self._prepare_field(field, fw, kw,
+                                                       normalize=False)
+            fr = _fix_sides(field_range)
+            yield planner.get_design_points(fr)
 
-        r_bins, c_bins = field_range.shape
-        interval = int(cfg.get("interval", 1))
-        work = jnp.nan_to_num(field_range, nan=1e-5)
-        for i in range(int(cfg["step"])):
-            key, sub = jax.random.split(key)
-            logits = jnp.log(jnp.clip(work.T, 1e-12, None))       # [C, R]
-            sampled = jax.random.categorical(sub, logits)         # [C]
-            ctrl_cols = jnp.arange(0, c_bins, interval)
-            curve = jnp.interp(jnp.arange(c_bins, dtype=jnp.float32),
-                               ctrl_cols.astype(jnp.float32),
-                               sampled[ctrl_cols].astype(jnp.float32))
-            curve = _gaussian_blur_1d(curve[None], 2.0, axis=1)[0]
-            rows = jnp.arange(r_bins, dtype=jnp.float32)[:, None]
-            attract = jnp.exp(-((rows - curve[None, :]) ** 2) / (2 * 1.5**2))
-            attract = attract / jnp.sum(attract, axis=0, keepdims=True)
-            mult = work * attract
-            work = jnp.nan_to_num(mult / jnp.sum(mult, axis=0, keepdims=True))
-            paths.append(planner.get_design_points(work))
-        return jnp.stack(paths)
+            r_bins, c_bins = fr.shape
+            interval = int(cfg.get("interval", 1))
+            work = jnp.nan_to_num(fr, nan=1e-5)
+            k = key
+            for i in range(int(cfg["step"])):
+                k, sub = jax.random.split(k)
+                logits = jnp.log(jnp.clip(work.T, 1e-12, None))   # [C, R]
+                sampled = jax.random.categorical(sub, logits)     # [C]
+                ctrl_cols = jnp.arange(0, c_bins, interval)
+                curve = jnp.interp(jnp.arange(c_bins, dtype=jnp.float32),
+                                   ctrl_cols.astype(jnp.float32),
+                                   sampled[ctrl_cols].astype(jnp.float32))
+                curve = _gaussian_blur_1d(curve[None], 2.0, axis=1)[0]
+                rows = jnp.arange(r_bins, dtype=jnp.float32)[:, None]
+                attract = jnp.exp(-((rows - curve[None, :]) ** 2)
+                                  / (2 * 1.5**2))
+                attract = attract / jnp.sum(attract, axis=0, keepdims=True)
+                mult = work * attract
+                work = jnp.nan_to_num(mult / jnp.sum(mult, axis=0,
+                                                     keepdims=True))
+                yield planner.get_design_points(work)
 
-    def plan_sweep(self, field, planner, fw, kw: str, cfg: dict):
+        if yield_mode:
+            return gen()
+        return jnp.stack(list(gen()))
+
+    def plan_sweep(self, field, planner, fw, kw: str, cfg: dict,
+                   yield_mode: bool = False):
         """Flat curtains z = start : step : end; [n, 2000, 2]."""
         zs = np.arange(cfg["start"], cfg["end"], cfg["step"])
         xs = np.arange(-10.0, 10.0, 0.01, dtype=np.float32)
         paths = np.stack([np.stack([xs, np.full_like(xs, z)], -1) for z in zs])
+        if yield_mode:
+            return (jnp.asarray(p) for p in paths)
         return jnp.asarray(paths)
 
     def plan_empty(self, field, planner, fw, kw: str, cfg: dict):

@@ -63,6 +63,8 @@ class LCDevice:
         # laser sheet geometry (beam waist + divergence, meters / rad)
         self.beam_width = float(LASER_PARAMS.get("beam_width", 0.01))
         self.beam_divergence = float(LASER_PARAMS.get("beam_divergence", 1.2e-3))
+        # floor on the triangulation angle (caps thickness growth at range)
+        self.sin_clip = float(LASER_PARAMS.get("sin_clip", 0.02))
 
         self.thetas = camera_angles(self.intr, self.width)   # [W] degrees
         self._theta_rad = jnp.asarray(np.radians(self.thetas), jnp.float32)
@@ -108,7 +110,7 @@ class LCDevice:
         lz = rot[0, 2] * laser_dir[0] + rot[2, 2] * laser_dir[1]
         sin_a = jnp.abs(cam_dir[0] * lz - cam_dir[1] * lx)
         width = self.beam_width + self.beam_divergence * r_l
-        return width / jnp.clip(sin_a, 0.02, None)
+        return width / jnp.clip(sin_a, self.sin_clip, None)
 
     # -- sensing -------------------------------------------------------------
 

@@ -96,6 +96,41 @@ def edge_aware_smoothness_loss(depth, rgb):
     return jnp.mean(sx) + jnp.mean(sy)
 
 
+def ternary_loss(im, im_warp, max_distance: int = 1):
+    """Census/ternary-transform distance (loss_blocks.py:8-44, after UnFlow).
+
+    im/im_warp: [B, 3, H, W] RGB in [0, 1]. Returns [B, 1, H, W] distance,
+    zeroed on the ``max_distance`` border.
+    """
+    k = 2 * max_distance + 1
+
+    def grayscale(img):
+        return (img[:, 0] * 0.2989 + img[:, 1] * 0.5870
+                + img[:, 2] * 0.1140)[:, None] * 255.0
+
+    def census(img):
+        """[B, 1, H, W] -> [B, k*k, H, W] normalized neighborhood diffs."""
+        g = grayscale(img)
+        pad = jnp.pad(g, ((0, 0), (0, 0), (max_distance, max_distance),
+                          (max_distance, max_distance)))
+        h, w = g.shape[-2:]
+        patches = jnp.concatenate(
+            [pad[:, :, dy:dy + h, dx:dx + w]
+             for dy in range(k) for dx in range(k)], axis=1)
+        diff = patches - g
+        return diff / jnp.sqrt(0.81 + diff * diff)
+
+    d = (census(im) - census(im_warp)) ** 2
+    dist = jnp.mean(d / (0.1 + d), axis=1, keepdims=True)
+
+    b, _, h, w = im.shape
+    inner = jnp.ones((b, 1, h - 2 * max_distance, w - 2 * max_distance),
+                     im.dtype)
+    mask = jnp.pad(inner, ((0, 0), (0, 0), (max_distance, max_distance),
+                           (max_distance, max_distance)))
+    return dist * mask
+
+
 def ssim(x, y, md: int = 1):
     """SSIM distance map (loss_blocks.py:47-66). x/y: [C, H, W]."""
     k = 2 * md + 1

@@ -28,12 +28,18 @@ class UnFlowLoss:
         self.cfg = cfg
         self.w_ssim = float(cfg.loss.get("w_ssim", 0.85))
         self.w_smooth = float(cfg.loss.get("w_smooth", 75.0))
+        self.w_ternary = float(cfg.loss.get("w_ternary", 0.0))
 
     def photometric(self, img1, img2_warped, mask):
         l1 = jnp.abs(img1 - img2_warped) * mask
         s = ssim(img1[0], img2_warped[0])[None]
-        return ((1 - self.w_ssim) * jnp.mean(l1)
-                + self.w_ssim * jnp.mean(s))
+        total = ((1 - self.w_ssim) * jnp.mean(l1)
+                 + self.w_ssim * jnp.mean(s))
+        if self.w_ternary > 0:
+            from depthestimation_tpu.losses.blocks import ternary_loss
+            t = ternary_loss(img1 * mask, img2_warped * mask)
+            total = total + self.w_ternary * jnp.mean(t)
+        return total
 
     def smooth(self, flow, img):
         def gx(t):

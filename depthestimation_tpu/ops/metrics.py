@@ -70,6 +70,9 @@ def eval_errors(errors):
     Returns {name: [mean, min, max]} matching evaluate_depth.h:123-142.
     """
     arr = np.asarray(errors, np.float64).reshape((-1, len(METRIC_NAMES)))
+    if arr.shape[0] == 0:
+        # no valid frames (e.g. empty split): NaN stats instead of a crash
+        return {name: [float("nan")] * 3 for name in METRIC_NAMES}
     out = {}
     for i, name in enumerate(METRIC_NAMES):
         col = arr[:, i]

@@ -36,3 +36,25 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def global_min_steps(local_steps: int, allgather=None) -> int:
+    """Minimum of ``local_steps`` across hosts.
+
+    With per-host scene sharding, hosts see different numbers of batches per
+    epoch; every host must run the same number of jitted steps or the
+    gradient collectives deadlock (the failure the reference's per-iteration
+    all_reduce vote guards against, default_trainer.py:122-130). Equalizing
+    up-front is the pjit-native equivalent: one host-count collective per
+    epoch instead of one per iteration.
+
+    ``allgather`` is injectable for single-process tests; the default uses
+    jax.experimental.multihost_utils.process_allgather.
+    """
+    if allgather is None:
+        if jax.process_count() <= 1:
+            return int(local_steps)
+        from jax.experimental.multihost_utils import process_allgather
+        allgather = process_allgather
+    counts = np.asarray(allgather(np.int64(local_steps)))
+    return int(counts.min())

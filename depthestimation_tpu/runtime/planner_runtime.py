@@ -68,13 +68,20 @@ class PlannerRuntime:
 
     def __init__(self, sensor_json: str | dict, mode: str = "sim",
                  planner: str = "default", params: Optional[dict] = None,
-                 sense_fn: Optional[Callable] = None):
+                 sense_fn: Optional[Callable] = None,
+                 send_fn: Optional[Callable] = None,
+                 recv_fn: Optional[Callable] = None):
         raw = (json.load(open(sensor_json)) if isinstance(sensor_json, str)
                else sensor_json)
         self.real_param = process_lc_json(raw)
         self.algo_param = update_for_algo(self.real_param)
         self.mode = mode
         self.sense_fn = sense_fn  # real-device callback: path -> (out, thick)
+        # pipelined serial-device contract (lc_wrapper sendCurtain /
+        # receiveCurtainAndProcess, ros_all.py:330-384): send_fn(path) starts
+        # an exposure, recv_fn() blocks for its (output, thickness)
+        self.send_fn = send_fn
+        self.recv_fn = recv_fn
 
         self.real_lc = LightCurtain()
         self.real_lc.init(copy.deepcopy(self.real_param))
@@ -136,48 +143,94 @@ class PlannerRuntime:
             uf, _ = gen_ufield(self.final[0], d_candi, intr, self.uf_params,
                                log=True)
             self.key, k_plan, k_sense = jax.random.split(self.key, 3)
+            stream = self.mode == "real"
             if self.planner == "default":
                 paths = self.algo_lc.plan_default(
                     uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
-                    "high", self.params)
+                    "high", self.params, yield_mode=stream)
             elif self.planner == "m1":
                 paths = self.algo_lc.plan_m1(
                     uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
-                    "high", self.params, k_plan)
+                    "high", self.params, k_plan, yield_mode=stream)
             elif self.planner == "sweep":
                 paths = self.algo_lc.plan_sweep(
                     uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
-                    "high", self.params)
+                    "high", self.params, yield_mode=stream)
             else:  # empty: no sensing
                 self._extract = None
                 break
 
-            lc_dpvs = []
-            for p in range(paths.shape[0]):
-                if self.mode == "real" and self.sense_fn is not None:
-                    out_lc, thick_lc = self.sense_fn(np.asarray(paths[p]))
-                    out_lc = np.nan_to_num(out_lc)
-                    thick_lc = np.nan_to_num(thick_lc)
-                else:
-                    keys = jax.random.split(k_sense, paths.shape[0])
+            if stream:
+                lc_dpvs = self._sense_real_pipelined(paths)
+            else:
+                lc_dpvs = []
+                keys = jax.random.split(k_sense, paths.shape[0])
+                depth_lc = self._depth_lc(depth_r)
+                for p in range(paths.shape[0]):
                     out_lc, thick_lc = self.real_lc.lightcurtain_large.\
-                        get_return(self._depth_lc(depth_r), paths[p], True,
-                                   key=keys[p])
-                    out_lc = jnp.nan_to_num(out_lc)
-                    thick_lc = jnp.nan_to_num(thick_lc)
-                sensed = self.real_lc.transform_measurement(out_lc, thick_lc) \
-                    if self.real_lc.transform_needed else jnp.stack(
-                        [jnp.asarray(out_lc)[..., 2],
-                         jnp.asarray(out_lc)[..., 3],
-                         jnp.asarray(thick_lc)])
-                lc_dpvs.append(self.real_lc.gen_lc_dpv_approx(
-                    sensed, self.params.get("std_div", 5.0))[None])
+                        get_return(depth_lc, paths[p], True, key=keys[p])
+                    lc_dpvs.append(self._measurement_dpv(
+                        jnp.nan_to_num(out_lc), jnp.nan_to_num(thick_lc),
+                        # Sim sensing uses std_div=10 regardless of planner
+                        # params (ros_all.py:438).
+                        self.params.get("sim_std_div", 10.0)))
             self.integrate(lc_dpvs)
 
         return self.extract_depth()
 
-    def _depth_lc(self, depth_r):
-        """RGB-frame depth -> LC-frame depth for the simulator."""
+    def _measurement_dpv(self, out_lc, thick_lc, std_div):
+        sensed = self.real_lc.transform_measurement(out_lc, thick_lc) \
+            if self.real_lc.transform_needed else jnp.stack(
+                [jnp.asarray(out_lc)[..., 2],
+                 jnp.asarray(out_lc)[..., 3],
+                 jnp.asarray(thick_lc)])
+        return self.real_lc.gen_lc_dpv_approx(sensed, std_div)[None]
+
+    def _sense_real_pipelined(self, path_gen):
+        """Overlapped serial-device loop (ros_all.py:330-404): curtain i+1 is
+        sent to the device BEFORE measurement i is transformed/converted, so
+        host processing hides behind the device's exposure latency. Plans are
+        consumed from a generator, so path i+1 is also planned while the
+        device exposes curtain i.
+
+        Uses (send_fn, recv_fn) when provided; falls back to the combined
+        ``sense_fn`` (send+wait) with plan/processing overlap only."""
+        std_div = self.params.get("std_div", 5.0)
+        send = self.send_fn or (lambda p: None)
+        recv = self.recv_fn
+
+        lc_dpvs = []
+        if self.send_fn is not None and recv is not None:
+            it = iter(path_gen)
+            path = next(it, None)
+            prev = None
+            while path is not None:
+                send(np.asarray(path))            # device exposing curtain i
+                nxt = next(it, None)              # plan i+1 during exposure
+                if prev is not None:              # process i-1 during exposure
+                    lc_dpvs.append(self._measurement_dpv(*prev, std_div))
+                out, thick = recv()               # block for curtain i
+                prev = (np.nan_to_num(out), np.nan_to_num(thick))
+                path = nxt
+            if prev is not None:
+                lc_dpvs.append(self._measurement_dpv(*prev, std_div))
+            return lc_dpvs
+
+        assert self.sense_fn is not None, \
+            "real mode needs sense_fn or (send_fn, recv_fn)"
+        prev = None
+        for path in path_gen:
+            out, thick = self.sense_fn(np.asarray(path))
+            if prev is not None:
+                lc_dpvs.append(self._measurement_dpv(*prev, std_div))
+            prev = (np.nan_to_num(out), np.nan_to_num(thick))
+        if prev is not None:
+            lc_dpvs.append(self._measurement_dpv(*prev, std_div))
+        return lc_dpvs
+
+    def _depth_lc(self, depth_r, pool_val: int = 4):
+        """RGB-frame depth -> LC-frame depth for the simulator, hole-filled by
+        minpool + nearest upsample (ros_all.py:205-220)."""
         depth_r = jnp.asarray(depth_r)
         if not self.real_lc.transform_needed:
             return depth_r
@@ -191,7 +244,15 @@ class PlannerRuntime:
                                    jnp.asarray(self.real_param["cTr"]),
                                    self.real_param["size_lc"][0],
                                    self.real_param["size_lc"][1])
-        return d
+        # minpool(4, default=1000) + nearest x4: fills z-buffer holes
+        h, w = d.shape
+        hp, wp = h - h % pool_val, w - w % pool_val
+        dc = jnp.where(d[:hp, :wp] == 0, 1000.0, d[:hp, :wp])
+        small = dc.reshape(hp // pool_val, pool_val,
+                           wp // pool_val, pool_val).min(axis=(1, 3))
+        small = jnp.where(small == 1000.0, 0.0, small)
+        filled = jnp.repeat(jnp.repeat(small, pool_val, 0), pool_val, 1)
+        return jnp.pad(filled, ((0, h - hp), (0, w - wp)))
 
     def extract_depth(self, var_thresh: float = 2.0):
         """Variance-masked expected depth (ros_all.py:445-455)."""
@@ -202,21 +263,56 @@ class PlannerRuntime:
         mask = (var < var_thresh).astype(z.dtype)
         return mean * mask, mask
 
+    def _to_lc_field(self, uf_rgb):
+        """RGB-frame z-theta field -> LC-frame (preprocess + transformZTheta),
+        the 'score in LC space as it is zoomed in' step (ros_all.py:244-245,
+        313-314)."""
+        fw = self.algo_lc.fw_large
+        f = fw.preprocess(uf_rgb, self.algo_lc.d_candi, self.algo_lc.d_candi_up)
+        return fw.transformZTheta(f, self.algo_lc.d_candi_up,
+                                  self.algo_lc.d_candi_up, "transform_large")
+
+    def truth_uf_lc(self, depth_truth, edge_cut: int = 50):
+        """Ground-truth UF in LC space with NaN'd edge columns
+        (ros_all.py:238-247)."""
+        intr = jnp.asarray(self.real_param["intr_rgb"], jnp.float32)
+        d_candi = jnp.asarray(self.algo_lc.d_candi, jnp.float32)
+        depth_truth = jnp.asarray(depth_truth, jnp.float32)
+        mask = (depth_truth > 0).astype(jnp.float32)
+        dpv_t = dpv_ops.gen_dpv_withmask(depth_truth[None], mask[None, None],
+                                         self.algo_lc.d_candi, 0.3)
+        uf_t, _ = gen_ufield(dpv_t[0], d_candi, intr, self.uf_params,
+                             log=False, mask=mask)
+        uf_t = self._to_lc_field(uf_t)
+        uf_t = uf_t.at[:, 0:edge_cut].set(jnp.nan)
+        uf_t = uf_t.at[:, -edge_cut:-1].set(jnp.nan)
+        return uf_t
+
     def score(self, depth_truth):
-        """UF error vs a GT depth map, appended to unc_scores
-        (the ros/plots.py metric)."""
+        """UF error vs a GT depth map, appended to unc_scores (the
+        ros/plots.py metric). Scored in LC space when the sensor has a real
+        RGB<->LC transform (ros_all.py:313-317), else in the RGB frame."""
         from depthestimation_tpu.ops.ufield import compute_unc_rmse
         intr = jnp.asarray(self.real_param["intr_rgb"], jnp.float32)
         d_candi = jnp.asarray(self.algo_lc.d_candi, jnp.float32)
-        mask = (jnp.asarray(depth_truth) > 0).astype(jnp.float32)
-        dpv_t = dpv_ops.gen_dpv_withmask(jnp.asarray(depth_truth)[None],
-                                         mask[None, None],
-                                         self.algo_lc.d_candi, 0.3)
-        uf_t, _ = gen_ufield(dpv_t[0], d_candi, intr, self.uf_params,
-                             log=False)
         uf_p, _ = gen_ufield(self.final[0], d_candi, intr, self.uf_params,
                              log=True)
-        s = float(compute_unc_rmse(uf_t, uf_p, d_candi))
+        if self.real_lc.transform_needed:
+            key = id(depth_truth) if hasattr(depth_truth, "__hash__") else None
+            if getattr(self, "_truth_key", None) != key or key is None:
+                self._truth_lc = self.truth_uf_lc(depth_truth)
+                self._truth_key = key
+            uf_p = self._to_lc_field(uf_p)
+            s = float(compute_unc_rmse(self._truth_lc, uf_p, d_candi))
+        else:
+            depth_truth = jnp.asarray(depth_truth, jnp.float32)
+            mask = (depth_truth > 0).astype(jnp.float32)
+            dpv_t = dpv_ops.gen_dpv_withmask(depth_truth[None],
+                                             mask[None, None],
+                                             self.algo_lc.d_candi, 0.3)
+            uf_t, _ = gen_ufield(dpv_t[0], d_candi, intr, self.uf_params,
+                                 log=False)
+            s = float(compute_unc_rmse(uf_t, uf_p, d_candi))
         self.unc_scores.append(s)
         return s
 

@@ -176,3 +176,107 @@ def test_scheduler_video_order():
     sched = BatchScheduler(ds, 2, shuffle=False, prefetch=False)
     frames = [b["frame_count"] for b in sched.enumerate()]
     assert frames == [0, 1, 2]
+
+
+def test_multihost_step_equalization():
+    """Hosts with uneven scene shards truncate to the global-min step count
+    (the collective-safety guarantee; reference default_trainer.py:122-130)."""
+    from depthestimation_tpu.parallel.mesh import global_min_steps
+
+    # 5 trajectories over 2 hosts -> host0 gets 3, host1 gets 2
+    ds = SyntheticStereoVideoDataset(n_traj=5, traj_len=3, h=16, w=24,
+                                     ndepth=8)
+    scheds = [BatchScheduler(ds, 1, shuffle=True, seed=7, prefetch=False,
+                             host_id=i, n_hosts=2) for i in range(2)]
+    lengths = [s.epoch_length() for s in scheds]
+    assert lengths[0] != lengths[1]
+
+    # simulated allgather: both hosts agree on the min
+    fake = lambda x: np.array(lengths)
+    gmin = global_min_steps(lengths[0], allgather=fake)
+    assert gmin == min(lengths)
+
+    counts = [sum(1 for _ in s.enumerate(max_steps=gmin)) for s in scheds]
+    assert counts[0] == counts[1] == gmin
+
+    # single-process default: identity
+    assert global_min_steps(17) == 17
+
+
+def test_epoch_plan_matches_produce():
+    ds = SyntheticStereoVideoDataset(n_traj=4, traj_len=3, h=16, w=24,
+                                     ndepth=8)
+    sched = BatchScheduler(ds, 2, shuffle=True, seed=3, prefetch=False)
+    n_planned = sched.epoch_length()
+    n_real = sum(1 for _ in sched.enumerate())
+    assert n_planned == n_real
+
+
+def test_read_split_skips_comments(tmp_path):
+    from depthestimation_tpu.data.kitti import read_split
+    (tmp_path / "training.txt").write_text(
+        "# comment line\n2011_09_26_drive_0001_sync\n\n"
+        "  # indented comment\n2011_09_26_drive_0009_sync\n")
+    assert read_split(str(tmp_path), "train") == [
+        "2011_09_26_drive_0001_sync", "2011_09_26_drive_0009_sync"]
+
+
+def test_shipped_splits_parse():
+    import os
+    from depthestimation_tpu.data.kitti import read_split
+    root = os.path.join(os.path.dirname(__file__), "..", "splits")
+    assert len(read_split(os.path.join(root, "k1"), "train")) == 138
+    assert len(read_split(os.path.join(root, "k1"), "test")) == 13
+    assert len(read_split(os.path.join(root, "ilim"), "train")) > 0
+    assert len(read_split(os.path.join(root, "sweep"), "train")) > 0
+
+
+def test_eval_errors_empty_returns_nans():
+    from depthestimation_tpu.ops.metrics import METRIC_NAMES, eval_errors
+    out = eval_errors([])
+    assert set(out) == set(METRIC_NAMES)
+    assert all(np.isnan(v[0]) for v in out.values())
+
+
+def test_all_configs_parse():
+    """Every shipped config loads through the config system and names a
+    registered model/loss/trainer + valid nmode."""
+    import glob
+    import json as _json
+    import os
+
+    from depthestimation_tpu.config import config_from_dict
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "*.json")))
+    assert len(files) >= 22
+    nmodes = {"default", "exp2", "exp3", "exp7", "exp7_lc", "lc"}
+    for f in files:
+        cfg = config_from_dict(_json.load(open(f)))
+        assert cfg.data.model_name in ("base", "sweep", "packnet", "default",
+                                       "pwclite")
+        assert cfg.var.nmode in nmodes, f
+        assert cfg.train.batch_size >= 1
+
+
+def test_mload_process_loader_matches_thread_loader():
+    """The spawned-process loader (reference BatchSchedulerMP) yields the
+    same batches as the in-process path, and honours early stop."""
+    ds = SyntheticStereoVideoDataset(n_traj=2, traj_len=3, h=16, w=24,
+                                     ndepth=8)
+    a = BatchScheduler(ds, 2, shuffle=True, seed=5, prefetch=False)
+    b = BatchScheduler(ds, 2, shuffle=True, seed=5, mload=True)
+    got_a = list(a.enumerate())
+    got_b = list(b.enumerate())
+    assert len(got_a) == len(got_b) == 3
+    for x, y in zip(got_a, got_b):
+        assert x["frame_count"] == y["frame_count"]
+        np.testing.assert_allclose(x["dmap_left"], y["dmap_left"])
+
+    # early stop mid-epoch drains cleanly
+    c = BatchScheduler(ds, 2, shuffle=False, seed=5, mload=True)
+    it = c.enumerate()
+    next(it)
+    c.stop()
+    rest = list(it)
+    assert len(rest) <= 2

@@ -77,3 +77,43 @@ def test_pwclite_forward():
     # finest flow upsampled 4x from the 1/4 level -> full res
     assert out["flows_fw"][0].shape == (1, 2, 64, 128)
     assert "flows_bw" in out
+
+
+def test_ternary_loss_matches_torch_oracle():
+    """ternary_loss vs a direct torch implementation of the reference
+    census transform (loss_blocks.py:8-44)."""
+    import torch
+    import torch.nn.functional as F
+
+    from depthestimation_tpu.losses.blocks import ternary_loss
+
+    def oracle(im, im_warp, max_distance=1):
+        patch_size = 2 * max_distance + 1
+
+        def gray(image):
+            g = (image[:, 0] * 0.2989 + image[:, 1] * 0.5870
+                 + image[:, 2] * 0.1140)
+            return g.unsqueeze(1)
+
+        def transform(image):
+            intens = gray(image) * 255
+            oc = patch_size * patch_size
+            w = torch.eye(oc).view((oc, 1, patch_size, patch_size))
+            patches = F.conv2d(intens, w, padding=max_distance)
+            t = patches - intens
+            return t / torch.sqrt(0.81 + t.pow(2))
+
+        t1, t2 = transform(im), transform(im_warp)
+        dist = (t1 - t2).pow(2)
+        dist = (dist / (0.1 + dist)).mean(1, keepdim=True)
+        n, _, h, w = im.shape
+        inner = torch.ones(n, 1, h - 2 * max_distance, w - 2 * max_distance)
+        mask = F.pad(inner, [max_distance] * 4)
+        return dist * mask
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (2, 3, 16, 20)).astype(np.float32)
+    b = rng.uniform(0, 1, (2, 3, 16, 20)).astype(np.float32)
+    want = oracle(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    got = np.asarray(ternary_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=2e-4)

