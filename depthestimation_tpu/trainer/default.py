@@ -226,7 +226,9 @@ class DefaultTrainer:
         for epoch in range(self.i_epoch, int(self.cfg.train.epoch_num)):
             if epoch in list(self.cfg.train.get("halflr", [])):
                 lr = float(self.state.opt_state.hyperparams["learning_rate"])
-                set_learning_rate(self.state.opt_state, lr * 0.5)
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(self.state.opt_state,
+                                                lr * 0.5))
                 self._log.info(self.id, f"Halved LR to {lr * 0.5}")
             self._run_one_epoch()
             self.eval()
