@@ -1,0 +1,297 @@
+#!/usr/bin/env python3
+"""Equal-weights forward parity: flax BaseModel vs an independent torch
+mirror of the reference architecture.
+
+The north-star parity claim is "depth RMSE within 1% of the reference"
+(BASELINE.md). With no KITTI release in this environment, the strongest
+available pin is numerical: build the reference network in torch (NCHW,
+grid_sample plane sweep — the reference's own formulation,
+warping/homography.py:98-198 + models/models.py:441-837), load it with THE
+SAME weights as the flax model, run the same input through both, and
+compare the refined DPVs / expected-depth maps.
+
+This validates in one shot: conv/BN/transposed-conv geometry, the PSMNet
+encoder + SPP, the gather-based plane-sweep + diagonal feature warp against
+torch's grid_sample, Base3D's 2D-unrolled Conv3D, and the decoder.
+
+Run:  python benchmarks/parity_forward.py  [--full]
+(small dims by default; --full uses feature_dim=64/D=64 at 384x256)
+Writes benchmarks/parity_forward.json and exits non-zero above tolerance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------- torch side
+
+def _torch_mirror(params, mi, nmode, sigma_soft_max, d_bins):
+    """Reference-formulation forward in torch, weights from the flax tree."""
+    import torch
+    import torch.nn.functional as F
+
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+
+    def conv2d(p, x, stride=1, pad=0, dil=1):
+        w = t(p["Conv_0"]["kernel"]).permute(3, 2, 0, 1)
+        b = t(p["Conv_0"]["bias"]) if "bias" in p["Conv_0"] else None
+        return F.conv2d(x, w, b, stride=stride, padding=pad, dilation=dil)
+
+    def bn(p, x):
+        dims2 = x.dim() == 4
+        w, b = t(p["scale"]), t(p["bias"])
+        return F.batch_norm(x, None, None, w, b, training=True, eps=1e-5)
+
+    def convbn(p, x, stride=1, pad=1, dil=1):
+        eff_pad = dil if dil > 1 else pad
+        y = conv2d(p["Conv_0"], x, stride, eff_pad, dil)
+        return bn(p["BatchNorm_0"], y)
+
+    def basic_block(p, x, stride, dil, downsample):
+        out = F.relu(convbn(p["ConvBN_0"], x, stride, 1, dil))
+        out = convbn(p["ConvBN_1"], out, 1, 1, dil)
+        if downsample:
+            x = conv2d({"Conv_0": p["Conv_0"]["Conv_0"]}, x, stride, 0)
+            x = bn(p["BatchNorm_0"], x)
+        return out + x
+
+    def stage(p, x, blocks, stride, dil, in_planes, planes):
+        need_ds = stride != 1 or in_planes != planes
+        x = basic_block(p["BasicBlock_0"], x, stride, dil, need_ds)
+        for i in range(1, blocks):
+            x = basic_block(p[f"BasicBlock_{i}"], x, 1, dil, False)
+        return x
+
+    def resize_ac(x, size):
+        return F.interpolate(x, size=size, mode="bilinear",
+                             align_corners=True)
+
+    def encoder(p, x, feature_dim):
+        mul = feature_dim / 64.0
+        s0, s1, s2, s3 = (int(16 * mul), int(32 * mul), int(64 * mul),
+                          int(128 * mul))
+        for i, stride in enumerate((2, 1, 1)):
+            x = F.relu(convbn(p[f"ConvBN_{i}"], x, stride, 1, 1))
+        out1 = stage(p["_Stage_0"], x, 3, 1, 1, s1, s1)
+        raw = stage(p["_Stage_1"], out1, s0, 2, 1, s1, s2)
+        l3 = stage(p["_Stage_2"], raw, 3, 1, 1, s2, s3)
+        skip = stage(p["_Stage_3"], l3, 3, 1, 2, s3, s3)
+
+        h, w = skip.shape[-2:]
+        branches = []
+        for bi, win in enumerate((64, 32, 16, 8)):
+            we = min(win, h, w)
+            bch = F.avg_pool2d(skip, we)
+            bch = F.relu(convbn(p[f"ConvBN_{3 + bi}"], bch, 1, 0, 1))
+            branches.append(resize_ac(bch, (h, w)))
+        feat = torch.cat([raw, skip] + branches[::-1], dim=1)
+        feat = F.relu(convbn(p["ConvBN_7"], feat, 1, 1, 1))
+        feat = conv2d(p["Conv_0"], feat, 1, 0)
+        return out1, raw, feat
+
+    def grid_from_pix(pix, h, w):
+        """array-index coords [N, 2] -> grid_sample normalized
+        (align_corners=False: g = (2x + 1)/W - 1)."""
+        gx = (2.0 * pix[..., 0] + 1.0) / w - 1.0
+        gy = (2.0 * pix[..., 1] + 1.0) / h - 1.0
+        return torch.stack([gx, gy], dim=-1)
+
+    def homography_pix(d_candi, rot, tra, intr, rays):
+        term1 = intr @ tra                                     # [3]
+        term2 = intr @ rot @ rays                              # [3, HW]
+        p = term1[:, None, None] + term2[:, None, :] * d_candi[None, :, None]
+        p = p / (p[2:3] + 1e-10)
+        return torch.stack([p[0] - 0.5, p[1] - 0.5], dim=-1)   # [D, HW, 2]
+
+    def plane_sweep(feat_all_i, feat_raw_i, d_candi, poses, intr, rays):
+        """feat_all_i [T, C1, h, w]; feat_raw_i [T, D, h, w] ->
+        (cost [D, h, w], warped [T, D, h, w]) — homography.py:98-198."""
+        T_, c1, h, w = feat_all_i.shape
+        D = d_candi.shape[0]
+        ref = feat_all_i[-1].reshape(c1, h * w)
+        cost = torch.zeros(D, h * w)
+        warped = []
+        for v in range(T_ - 1):
+            rot, tra = poses[v, :3, :3], poses[v, :3, 3]
+            pix = homography_pix(d_candi, rot, tra, intr, rays)
+            grid = grid_from_pix(pix, h, w)[None]              # [1, D, HW, 2]
+            warp_all = F.grid_sample(feat_all_i[v][None], grid,
+                                     mode="bilinear", padding_mode="zeros",
+                                     align_corners=False)[0]   # [C1, D, HW]
+            diff = warp_all - ref[:, None, :]
+            cost = cost + (diff * diff).sum(0)
+            warp_raw = F.grid_sample(feat_raw_i[v][None], grid,
+                                     mode="bilinear", padding_mode="zeros",
+                                     align_corners=False)[0]   # [D, D, HW]
+            diag = torch.stack([warp_raw[d, d] for d in range(D)])
+            warped.append(diag.reshape(D, h, w))
+        warped.append(feat_raw_i[-1])
+        return (cost / sigma_soft_max).reshape(D, h, w), torch.stack(warped)
+
+    def conv3d(p, x, pad=1):
+        w = t(p["kernel"]).permute(4, 3, 0, 1, 2)   # [F, C, kd, kh, kw]
+        b = t(p["bias"]) if "bias" in p else None
+        return F.conv3d(x, w, b, padding=pad)
+
+    def convbn3d(p, x):
+        return bn(p["BatchNorm_0"], conv3d(p["Conv3d_0"], x))
+
+    def base3d(p, vol, dres_count=2):
+        x = F.relu(convbn3d(p["ConvBN3d_0"], vol))
+        x = F.relu(convbn3d(p["ConvBN3d_1"], x))
+        idx = 2
+        for _ in range(dres_count):
+            y = F.relu(convbn3d(p[f"ConvBN3d_{idx}"], x))
+            y = convbn3d(p[f"ConvBN3d_{idx + 1}"], y)
+            x = y + x
+            idx += 2
+        x = F.relu(convbn3d(p[f"ConvBN3d_{idx}"], x))
+        x = conv3d(p["Conv3d_0"], x)
+        return x[:, 0]                                          # [B, D, h, w]
+
+    def conv_transpose(p, x, stride=2, pad=1):
+        w = t(p["kernel"]).permute(2, 3, 0, 1)      # [cin, cout, kh, kw]
+        b = t(p["bias"])
+        return F.conv_transpose2d(x, w, b, stride=stride, padding=pad)
+
+    def decoder(p, dpv, f4, f2, rgb):
+        lr = F.leaky_relu
+        x = torch.cat([dpv, f4], dim=1)
+        x = lr(conv2d(p["Conv_0"], x, 1, 1))
+        x = lr(conv2d(p["Conv_1"], x, 1, 1))
+        x = lr(conv_transpose(p["ConvTranspose_0"], x))
+        x = torch.cat([x, f2], dim=1)
+        x = lr(conv2d(p["Conv_2"], x, 1, 1))
+        x = lr(conv2d(p["Conv_3"], x, 1, 1))
+        x = lr(conv_transpose(p["ConvTranspose_1"], x))
+        x = torch.cat([x, rgb], dim=1)
+        x = lr(conv2d(p["Conv_4"], x, 1, 1))
+        x = lr(conv2d(p["Conv_5"], x, 1, 1))
+        x = conv2d(p["Conv_6"], x, 1, 1)
+        return F.log_softmax(x, dim=1)
+
+    # ---- forward (nmode = exp7) ----
+    import torch
+    rgb = t(mi["rgb"])                                          # [B,T,3,H,W]
+    B, T_ = rgb.shape[:2]
+    x = rgb.reshape(B * T_, *rgb.shape[2:])
+    feature_dim = d_bins
+    out1, raw, feat = encoder(params["base_encoder"], x, feature_dim)
+
+    dw = x.shape[-2] // feat.shape[-2]
+    img_feat = F.avg_pool2d(x, dw)
+    feat_all = torch.cat([feat, img_feat], dim=1)
+
+    def split(y):
+        return y.reshape(B, T_, *y.shape[1:])
+
+    out1, raw, feat_all = split(out1), split(raw), split(feat_all)
+
+    d_candi = t(mi["d_candi"])
+    costs, warps = [], []
+    for b in range(B):
+        c, wv = plane_sweep(feat_all[b], raw[b], d_candi,
+                            t(mi["src_cam_poses"][b]),
+                            t(mi["intrinsics"][b]), t(mi["unit_ray"][b]))
+        costs.append(c)
+        warps.append(wv)
+    cost = torch.stack(costs)                                   # [B, D, h, w]
+    warped = torch.stack(warps)                                 # [B, T, D, h, w]
+
+    lr = F.leaky_relu
+    y = lr(conv2d(params["conv0"], cost, 1, 1))
+    y = lr(conv2d(params["conv0_1"], y, 1, 1))
+    y = conv2d(params["conv0_2"], y, 1, 1)
+    bv = F.log_softmax(y, dim=1)
+
+    prev = torch.full_like(bv, 1.0 / d_bins)                    # exp7: prob
+    vol = torch.cat([bv[:, None], prev[:, None], warped], dim=1)
+    resi = base3d(params["based_3d"], vol)
+    bv_upd = F.log_softmax(bv + resi, dim=1)
+
+    refined = decoder(params["base_decoder"], torch.exp(bv_upd),
+                      feat_all[:, -1, :-3], out1[:, -1], rgb[:, -1])
+    return {"bv": bv.numpy(), "bv_upd": bv_upd.numpy(),
+            "refined": refined.numpy()}
+
+
+# ----------------------------------------------------------------- jax side
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from depthestimation_tpu.data import synthetic
+    from depthestimation_tpu.models.base_model import BaseModelNet
+    from depthestimation_tpu.ops.dpv import dpv_to_depthmap
+
+    if args.full:
+        fd, d_bins, w, h = 64, 64, 384, 256
+    else:
+        fd, d_bins, w, h = 16, 16, 48, 32
+
+    model = BaseModelNet(feature_dim=fd, d=d_bins, nmode="exp7",
+                         bn_avg=False, sigma_soft_max=10.0)
+    mi, gt = synthetic.make_batch(batch=2, t_win=1, h=h, w=w, d_min=3.0,
+                                  d_max=18.0, ndepth=d_bins, qpower=1.0)
+    mi_j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+            for k, v in mi.items()}
+    rngs = {"params": jax.random.PRNGKey(0), "lc_drop": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, mi_j, train=False)
+    out_j = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables,
+                                                                 mi_j)
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    out_t = _torch_mirror(params_np, mi, "exp7", 10.0, d_bins)
+
+    report = {}
+    for name, (jx, tx) in {
+        "bv": (np.asarray(out_j["output"][0]), out_t["bv"]),
+        "bv_upd": (np.asarray(out_j["output"][1]), out_t["bv_upd"]),
+        "refined": (np.asarray(out_j["output_refined"][-1]),
+                    out_t["refined"]),
+    }.items():
+        report[name + "_max_abs_diff"] = float(np.abs(jx - tx).max())
+
+    d_candi = np.asarray(mi["d_candi"], np.float32)
+    dj = np.asarray(dpv_to_depthmap(jnp.asarray(out_j["output_refined"][-1]),
+                                    d_candi, log=True))
+    dt = np.asarray(dpv_to_depthmap(jnp.asarray(out_t["refined"]), d_candi,
+                                    log=True))
+    gt_depth = np.asarray(mi["dmaps_up"], np.float32)
+
+    def rmse(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    report["depth_map_rmse_between_stacks_m"] = rmse(dj, dt)
+    rj, rt = rmse(dj, gt_depth), rmse(dt, gt_depth)
+    report["depth_rmse_vs_gt_jax_m"] = rj
+    report["depth_rmse_vs_gt_torch_m"] = rt
+    report["depth_rmse_rel_diff_pct"] = 100.0 * abs(rj - rt) / max(rt, 1e-9)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "parity_forward.json")
+    json.dump(report, open(out_path, "w"), indent=1)
+    for k, v in report.items():
+        print(f"{k}: {v:.6g}")
+
+    ok = report["depth_rmse_rel_diff_pct"] < 1.0
+    print("PARITY " + ("OK (<1% depth-RMSE difference)" if ok else "FAILED"))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
