@@ -60,6 +60,11 @@ class LCDevice:
         self.laser_timestep = float(LASER_PARAMS.get("laser_timestep", 3.5e-5))
         # galvo spec: max angular velocity (deg/s); sets reachable curtains
         self.max_omega = float(LASER_PARAMS.get("max_omega", 25000.0))
+        # optional galvo angular-acceleration limit (deg/s²). When set, the
+        # planner runs the full (ray, range_prev, range) constraint graph
+        # (planner.py:_dp_solve_accel); None keeps velocity-only planning.
+        ma = LASER_PARAMS.get("max_alpha", None)
+        self.max_alpha = None if ma is None else float(ma)
         # laser sheet geometry (beam waist + divergence, meters / rad)
         self.beam_width = float(LASER_PARAMS.get("beam_width", 0.01))
         self.beam_divergence = float(LASER_PARAMS.get("beam_divergence", 1.2e-3))

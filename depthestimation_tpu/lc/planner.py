@@ -23,7 +23,17 @@ NEG = -1e30
 
 
 class PlannerRT:
-    """PlannerRT(lc_device, ranges[R], num_camera_rays)."""
+    """PlannerRT(lc_device, ranges[R], num_camera_rays).
+
+    When the device carries a finite galvo acceleration limit
+    (``max_alpha`` in LASER_PARAMS, deg/s²), the DP state is extended from
+    (ray, range) to (ray, range_prev, range) so both the angular-velocity
+    limit AND the velocity-change limit between consecutive rays are
+    enforced — the full constraint set of the reference's C++ PlannerRT
+    (SURVEY §2.5; reconstructed from lc/light_curtain.py:302-304 call-site
+    semantics, lcsim source absent). ``max_alpha=None`` keeps the
+    velocity-only graph.
+    """
 
     def __init__(self, lc_device, ranges, num_camera_rays: int, debug: bool = False):
         self.device = lc_device
@@ -43,14 +53,22 @@ class PlannerRT:
         del pts
         self.phi = np.degrees(np.arctan2(xl, zl))                # [C, R]
         self.dphi_max = lc_device.max_omega * lc_device.laser_timestep
+        max_alpha = getattr(lc_device, "max_alpha", None)
+        self.ddphi_max = (None if max_alpha is None else
+                          float(max_alpha) * lc_device.laser_timestep ** 2)
 
         self._phi_j = jnp.asarray(self.phi, jnp.float32)
         self._xz = jnp.asarray(np.stack([x, z], axis=-1), jnp.float32)  # [C,R,2]
 
-        self._solve = jax.jit(functools.partial(_dp_solve,
-                                                phi=self._phi_j,
-                                                xz=self._xz,
-                                                dphi_max=float(self.dphi_max)))
+        if self.ddphi_max is None:
+            self._solve = jax.jit(functools.partial(
+                _dp_solve, phi=self._phi_j, xz=self._xz,
+                dphi_max=float(self.dphi_max)))
+        else:
+            self._solve = jax.jit(functools.partial(
+                _dp_solve_accel, phi=self._phi_j, xz=self._xz,
+                dphi_max=float(self.dphi_max),
+                ddphi_max=float(self.ddphi_max)))
 
     def get_design_points(self, cost_field):
         """cost_field: [R, C] -> design points [C, 2] (x, z)."""
@@ -58,6 +76,10 @@ class PlannerRT:
 
     def solve_fn(self):
         """The raw jittable solver (for fusion into larger programs)."""
+        if self.ddphi_max is not None:
+            return functools.partial(_dp_solve_accel, phi=self._phi_j,
+                                     xz=self._xz, dphi_max=float(self.dphi_max),
+                                     ddphi_max=float(self.ddphi_max))
         return functools.partial(_dp_solve, phi=self._phi_j, xz=self._xz,
                                  dphi_max=float(self.dphi_max))
 
@@ -88,4 +110,53 @@ def _dp_solve(field, *, phi, xz, dphi_max):
 
     _, rs_rev = jax.lax.scan(bwd, r_last, ptrs, reverse=True)
     rs = jnp.concatenate([rs_rev, r_last[None]])                 # [C]
+    return jax.vmap(lambda i, row: row[i])(rs, xz)               # [C, 2]
+
+
+def _dp_solve_accel(field, *, phi, xz, dphi_max, ddphi_max):
+    """Velocity- AND acceleration-constrained DP.
+
+    State after column c is the (range at c-1, range at c) pair, so the
+    galvo velocity implied by the last hop is part of the node; a hop to
+    r_next is feasible iff the new velocity is within ``dphi_max`` and
+    differs from the previous one by at most ``ddphi_max`` (= max_alpha·dt²).
+    O(C·R³) max-plus work, still one fused on-device scan.
+
+    field: [R, C]; phi: [C, R]; xz: [C, R, 2] -> pts [C, 2].
+    """
+    field = jnp.nan_to_num(jnp.asarray(field, jnp.float32), nan=0.0)
+    fT = field.T                                                 # [C, R]
+    c, r = fT.shape
+
+    # init over the first two columns: velocity constraint only
+    v01 = phi[1][None, :] - phi[0][:, None]                      # [R, R]
+    best0 = (fT[0][:, None] + fT[1][None, :] +
+             jnp.where(jnp.abs(v01) <= dphi_max, 0.0, NEG))      # [Rprev, Rcur]
+
+    def fwd(carry, inputs):
+        best, phi_prev, phi_cur = carry                          # [R, R], [R], [R]
+        f_n, phi_n = inputs                                      # [R], [R]
+        v_new = phi_n[None, :] - phi_cur[:, None]                # [Rcur, Rnext]
+        v_old = phi_cur[None, :] - phi_prev[:, None]             # [Rprev, Rcur]
+        ok = ((jnp.abs(v_new)[None] <= dphi_max) &
+              (jnp.abs(v_new[None] - v_old[:, :, None]) <= ddphi_max))
+        scores = best[:, :, None] + jnp.where(ok, 0.0, NEG)      # [Rp, Rc, Rn]
+        new_best = f_n[None, :] + jnp.max(scores, axis=0)        # [Rc, Rn]
+        ptr = jnp.argmax(scores, axis=0).astype(jnp.int32)       # [Rc, Rn]
+        return (new_best, phi_cur, phi_n), ptr
+
+    (best_last, _, _), ptrs = jax.lax.scan(
+        fwd, (best0, phi[0], phi[1]), (fT[2:], phi[2:]))
+    # best_last: [R(c-2), R(c-1)]; ptrs: [C-2, Rcur, Rnext]
+    flat = jnp.argmax(best_last)
+    r_prev = (flat // r).astype(jnp.int32)
+    r_last = (flat % r).astype(jnp.int32)
+
+    def bwd(carry, ptr_c):
+        r_cur, r_next = carry
+        r_p = ptr_c[r_cur, r_next]
+        return (r_p, r_cur), r_p
+
+    _, rs_rev = jax.lax.scan(bwd, (r_prev, r_last), ptrs, reverse=True)
+    rs = jnp.concatenate([rs_rev, r_prev[None], r_last[None]])   # [C]
     return jax.vmap(lambda i, row: row[i])(rs, xz)               # [C, 2]

@@ -76,6 +76,56 @@ def test_planner_prefers_high_cost_and_respects_galvo():
     assert dphi.max() <= planner.dphi_max + 1e-3
 
 
+def test_planner_acceleration_constraint():
+    """With a finite galvo acceleration limit (max_alpha) the DP runs the
+    (ray, range_prev, range) graph: velocity may change by at most
+    max_alpha*dt^2 per ray — the full physics of the reference PlannerRT
+    (SURVEY §2.5). Sensitivity pin: the accel-limited path is strictly
+    smoother on an adversarial (alternating) cost field, and degrades
+    gracefully (still finds the high-cost band on an easy field)."""
+    intr = np.array([[0.8 * W, 0, W / 2], [0, 0.8 * W, H / 2], [0, 0, 1]],
+                    np.float32)
+    cam = {"width": W, "height": H, "matrix": intr,
+           "distortion": [0.0] * 5, "hit_mode": 1, "hit_noise": 0.0}
+    ltc = np.eye(4, dtype=np.float32)
+    ltc[0, 3] = 0.2
+    dt = 2e-4
+    laser = {"lTc": ltc, "fov": 80.0, "laser_timestep": dt}
+    # velocity budget ~ full range; acceleration budget deliberately tight
+    dev_v = LCDevice(cam, dict(laser))
+    # velocity may change by at most 1/4 of its full range per ray
+    dev_a = LCDevice(cam, dict(laser, max_alpha=0.25 * dev_v.max_omega / dt))
+    assert dev_a.max_alpha is not None
+    ranges = ops.powerf(3.0, 30.0, 24, 1.0)
+    pl_v = PlannerRT(dev_v, ranges, W)
+    pl_a = PlannerRT(dev_a, ranges, W)
+    assert pl_a.ddphi_max is not None and pl_v.ddphi_max is None
+
+    def phi_of(pts):
+        return np.degrees(np.arctan2(pts[:, 0] + ltc[0, 3], pts[:, 1]))
+
+    # adversarial alternating field tempts the planner into zig-zags
+    field = np.zeros((24, W), np.float32)
+    field[4, ::2] = 1.0
+    field[20, 1::2] = 1.0
+    pts_v = np.asarray(pl_v.get_design_points(field))
+    pts_a = np.asarray(pl_a.get_design_points(field))
+    dphi_a = np.diff(phi_of(pts_a))
+    # both limits hold on the accel-constrained path
+    assert np.abs(dphi_a).max() <= pl_a.dphi_max + 1e-3
+    assert np.abs(np.diff(dphi_a)).max() <= pl_a.ddphi_max + 1e-3
+    # and it is strictly smoother than the velocity-only plan
+    assert (np.abs(np.diff(phi_of(pts_a), 2)).max()
+            <= np.abs(np.diff(phi_of(pts_v), 2)).max() + 1e-6)
+
+    # graceful degradation: single high-cost band is still found
+    easy = np.zeros((24, W), np.float32)
+    easy[10, :] = 1.0
+    pts = np.asarray(pl_a.get_design_points(easy))
+    z_expect = ranges[10] * np.cos(np.radians(dev_a.thetas))
+    np.testing.assert_allclose(pts[:, 1], z_expect, rtol=0.05)
+
+
 def test_digitize_soft_matches_reference_semantics():
     arr = np.array([1.0, 2.0, 4.0, 8.0])
     assert digitize_soft(1.0, arr) == 0
