@@ -243,8 +243,11 @@ def main():
     else:
         fd, d_bins, w, h = 16, 16, 48, 32
 
+    # strict-parity harness: pin the direct gather warp (bit-parity with the
+    # torch grid_sample mirror); the model's fast default is "decomposed"
     model = BaseModelNet(feature_dim=fd, d=d_bins, nmode="exp7",
-                         bn_avg=False, sigma_soft_max=10.0)
+                         bn_avg=False, sigma_soft_max=10.0,
+                         sweep_impl="gather")
     mi, gt = synthetic.make_batch(batch=2, t_win=1, h=h, w=w, d_min=3.0,
                                   d_max=18.0, ndepth=d_bins, qpower=1.0)
     mi_j = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)

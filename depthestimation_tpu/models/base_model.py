@@ -30,7 +30,9 @@ from depthestimation_tpu.models.encoder import BaseEncoder
 from depthestimation_tpu.models.layers import Conv, avg_pool, leaky_relu, max_pool
 from depthestimation_tpu.ops.plane_sweep import (
     plane_sweep_and_warp,
+    plane_sweep_and_warp_decomposed,
     plane_sweep_volume,
+    plane_sweep_volume_decomposed,
     warp_feature_volume,
 )
 
@@ -53,6 +55,11 @@ class BaseModelNet(nn.Module):
     diffhomo: bool = True
     use_lc_prob: float = 0.7
     dtype: Any = None     # bf16 conv compute when set (params stay f32)
+    #: "decomposed" = MXU plane sweep (fixed homography resample + per-depth
+    #: banded matmuls; ~5-10x faster fwd/bwd, exact for identity rotations,
+    #: one extra bilinear smoothing otherwise — ops/plane_sweep.py); "gather"
+    #: = the direct per-depth 4-tap gather (bit-parity with the torch oracle)
+    sweep_impl: str = "decomposed"
 
     def setup(self):
         self.base_encoder = BaseEncoder(self.feature_dim, self.bn_avg,
@@ -87,8 +94,11 @@ class BaseModelNet(nn.Module):
         d_candi = model_input["d_candi"]
         feats = _nchw(feat_all)                       # [B, T, C+3, h, w]
 
+        sweep = (plane_sweep_volume_decomposed
+                 if self.sweep_impl == "decomposed" else plane_sweep_volume)
+
         def per_item(feats_i, poses_i, intr_i, rays_i):
-            return plane_sweep_volume(
+            return sweep(
                 feats_i[-1], feats_i[:-1], d_candi,
                 poses_i[:-1, :3, :3], poses_i[:-1, :3, 3],
                 intr_i, rays_i, self.sigma_soft_max)
@@ -118,8 +128,11 @@ class BaseModelNet(nn.Module):
         fa = _nchw(feat_all)
         fr = _nchw(feat_raw)
 
+        sweep = (plane_sweep_and_warp_decomposed
+                 if self.sweep_impl == "decomposed" else plane_sweep_and_warp)
+
         def per_item(fa_i, fr_i, poses_i, intr_i, rays_i):
-            return plane_sweep_and_warp(
+            return sweep(
                 fa_i, fr_i, d_candi, poses_i[:, :3, :3], poses_i[:, :3, 3],
                 intr_i, rays_i, self.sigma_soft_max)
 

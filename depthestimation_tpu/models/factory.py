@@ -22,6 +22,7 @@ def get_model(cfg):
             diffhomo=cfg.var.get("diffhomo", True),
             use_lc_prob=cfg.lc.get("use_lc_prob", 0.7),
             dtype=dtype,
+            sweep_impl=cfg.var.get("sweep_impl", "decomposed"),
         )
     if name == "default":
         return DefaultModel(d=cfg.var.ndepth)

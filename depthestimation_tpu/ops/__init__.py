@@ -33,7 +33,10 @@ from depthestimation_tpu.ops.resample import (  # noqa: F401
     shift_rows,
 )
 from depthestimation_tpu.ops.plane_sweep import (  # noqa: F401
+    plane_sweep_and_warp,
+    plane_sweep_and_warp_decomposed,
     plane_sweep_volume,
+    plane_sweep_volume_decomposed,
     warp_feature_volume,
 )
 from depthestimation_tpu.ops.ufield import (  # noqa: F401

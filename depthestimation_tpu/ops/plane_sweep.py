@@ -180,6 +180,166 @@ def plane_sweep_and_warp(feat_all, feat_raw, d_candi, rots, tras, intr,
     return cost, warped
 
 
+# ---------------------------------------------------------------------------
+# Decomposed (MXU) plane sweep
+#
+# For fronto-parallel candidate planes the depth-d homography factors exactly:
+#   p_src(d) ~ K t + K R r d  =  A (p + (1/d) m),   A = K R K^-1,  m = K R^T t
+# (p = (u, v, 1) center-pixel homogeneous ref coords; r unit-z rays). The
+# depth-dependent part is a GLOBAL scale+translate in each axis:
+#   u' = (u + m0/d) / (1 + m2/d),  v' = (v + m1/d) / (1 + m2/d)
+# so the whole D-plane sweep is: ONE fixed homography resample by A
+# (depth-independent 4-tap gather, HW·C elements), then per depth a separable
+# bilinear resample expressed as banded matmuls  out_d = Ry_d · src_A · Rx_dᵀ
+# — MXU work instead of D·HW·C gathered elements. ~8-60x less gather traffic
+# than the direct path; the backward is matmuls instead of scatter-adds.
+#
+# Numerics: bilinear(A-resample) ∘ bilinear(affine) == the direct bilinear
+# warp exactly when R == I (A == I ⇒ stage 1 is the identity); for R ≠ I it
+# composes two bilinear interpolations (one extra smoothing) — see
+# tests/test_plane_sweep.py for the pinned deviation bounds. Zero-padding
+# semantics match: out-of-image taps get zero weight in Rx/Ry, and behind-
+# camera planes (1 + m2/d <= 0) produce far-outside coordinates -> all-zero
+# rows, like the direct path's huge projected pixels.
+# ---------------------------------------------------------------------------
+
+
+def _affine_band_mats(d_candi, m, h: int, w: int, dxy=(0.0, 0.0)):
+    """Banded bilinear resample matrices for the per-depth global affine.
+
+    Returns (Rx [D, W, W], Ry [D, H, H]) with Rx[d, i, j] = bilinear weight
+    of src column j for output column i at depth d (rows sum to <= 1; rows
+    mapping outside the image are all-zero = zero padding).
+
+    ``dxy`` = (cx - W/2, cy - H/2): the framework's rays are FOV-centered
+    (geometry.pixel_to_ray_array), so ref pixel i has homogeneous coordinate
+    u = i + 0.5 + dx, while src array indices are u' - 0.5 (matching
+    _homography_pixels / _tap_indices_weights exactly).
+    """
+    d = jnp.asarray(d_candi, jnp.float32)
+    denom = 1.0 + m[2] / d                                  # [D]
+    inv = jnp.where(jnp.abs(denom) > 1e-10, 1.0 / denom, 1e12)
+
+    def band(n: int, off, delta):
+        i = jnp.arange(n, dtype=jnp.float32)
+        # output side: homogeneous coord u(i) = i + 0.5 + delta; input side:
+        # stage 1 already applied the delta shift (src_B[j] = src at j+delta),
+        # so the src_B index is u' - 0.5 - delta
+        a = ((i[None, :] + 0.5 + delta + off[:, None]) * inv[:, None]
+             - 0.5 - delta)
+        j = jnp.arange(n, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(a[:, :, None] - j[None, None, :]))
+
+    return band(w, m[0] / d, dxy[0]), band(h, m[1] / d, dxy[1])
+
+
+def _homography_resample(feat, rot, intr):
+    """Depth-independent stage 1: resample [C, H, W] features by the pure-
+    rotation homography A = K R K^-1 onto the reference grid (zero-padded
+    4-tap bilinear; identity rotation reproduces the input exactly)."""
+    c, h, w = feat.shape
+    hi = jax.lax.Precision.HIGHEST
+    # closed-form K^-1 (pinhole, no skew) — an LU inverse here costs ~1 ulp
+    # per element, which stage 2's exactness-at-R=I contract can't afford
+    fx, fy = intr[0, 0], intr[1, 1]
+    cx, cy = intr[0, 2], intr[1, 2]
+    k_inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                      intr.dtype)
+    k_inv = k_inv.at[0, 0].set(1.0 / fx).at[0, 2].set(-cx / fx)
+    k_inv = k_inv.at[1, 1].set(1.0 / fy).at[1, 2].set(-cy / fy)
+    a_mat = jnp.matmul(jnp.matmul(intr, rot, precision=hi), k_inv,
+                       precision=hi)
+    # FOV-centered ray convention: pixel i sits at u = i + 0.5 + (c - n/2)
+    u = jnp.arange(w, dtype=jnp.float32) + 0.5 + (cx - 0.5 * w)
+    v = jnp.arange(h, dtype=jnp.float32) + 0.5 + (cy - 0.5 * h)
+    grid = jnp.stack(jnp.meshgrid(u, v, indexing="xy") +
+                     [jnp.ones((h, w), jnp.float32)])       # [3, H, W]
+    q = jnp.einsum("ij,jhw->ihw", a_mat, grid, precision=hi)
+    q = q / (q[2:3] + 1e-10)
+    pix = jnp.stack([q[0] - 0.5, q[1] - 0.5], axis=-1).reshape(-1, 2)
+    return bilinear_sample_many(feat, pix).reshape(c, h, w)
+
+
+def _sweep_mats(d_candi, rot, tra, intr, h: int, w: int):
+    """(Rx, Ry) for one source view's depth sweep (stage 2)."""
+    hi = jax.lax.Precision.HIGHEST
+    m = jnp.matmul(intr, jnp.matmul(rot.T, tra, precision=hi), precision=hi)
+    dxy = (intr[0, 2] - 0.5 * w, intr[1, 2] - 0.5 * h)
+    return _affine_band_mats(d_candi, m, h, w, dxy)
+
+
+def plane_sweep_and_warp_decomposed(feat_all, feat_raw, d_candi, rots, tras,
+                                    intr, unit_rays, sigma: float,
+                                    dtype=jnp.float32):
+    """Drop-in equivalent of :func:`plane_sweep_and_warp` on the decomposed
+    (matmul) path. unit_rays is accepted for signature parity but unused —
+    the decomposition works in pixel coordinates directly.
+
+    feat_all: [T, C1, H, W]; feat_raw: [T, C2=D, H, W]; last view = ref.
+    Returns (cost [D, H, W] float32, warped [T, D, H, W] float32).
+    """
+    t, c1, h, w = feat_all.shape
+    d = len(d_candi)
+    c2 = feat_raw.shape[1]
+    assert c2 == d, "diagonal warp requires feat_raw channels == D"
+    ref = feat_all[-1].astype(dtype)                        # [C1, H, W]
+
+    # f32 must run the MXU at HIGHEST precision or the resample matmuls
+    # round through bf16 (~8e-3 relative), breaking exactness at R == I
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def per_src_view(rot, tra, fa, fr):
+        fa_a = _homography_resample(fa, rot, intr)
+        fr_a = _homography_resample(fr, rot, intr)
+        rx, ry = _sweep_mats(d_candi, rot, tra, intr, h, w)
+        rx = rx.astype(dtype)
+        ry = ry.astype(dtype)
+        # full sweep of the cost features: [C1, D, H, W]
+        tmp = jnp.einsum("chw,dxw->cdhx", fa_a.astype(dtype), rx,
+                         precision=prec)
+        warped_all = jnp.einsum("cdhx,dyh->cdyx", tmp, ry, precision=prec)
+        diff = warped_all - ref[:, None]
+        cost = jnp.sum((diff * diff).astype(jnp.float32), axis=0)  # [D, H, W]
+        # diagonal sweep of the raw features: plane d uses channel d
+        tmp2 = jnp.einsum("dhw,dxw->dhx", fr_a.astype(dtype), rx,
+                          precision=prec)
+        diag = jnp.einsum("dhx,dyh->dyx", tmp2, ry, precision=prec)
+        return cost, diag.astype(jnp.float32)
+
+    costs, warped_srcs = jax.vmap(per_src_view)(
+        rots[:-1], tras[:-1], feat_all[:-1], feat_raw[:-1])
+    cost = jnp.sum(costs, axis=0) / sigma
+    warped = jnp.concatenate([warped_srcs, feat_raw[-1:]], axis=0)
+    return cost, warped
+
+
+def plane_sweep_volume_decomposed(feat_ref, feat_srcs, d_candi, rots, tras,
+                                  intr, unit_rays, sigma: float,
+                                  dist: str = "L2", dtype=jnp.float32):
+    """Decomposed-path equivalent of :func:`plane_sweep_volume`."""
+    c, h, w = feat_ref.shape
+    ref = feat_ref.astype(dtype)
+
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def per_view(rot, tra, feat_src):
+        fa_a = _homography_resample(feat_src, rot, intr)
+        rx, ry = _sweep_mats(d_candi, rot, tra, intr, h, w)
+        tmp = jnp.einsum("chw,dxw->cdhx", fa_a.astype(dtype),
+                         rx.astype(dtype), precision=prec)
+        warped = jnp.einsum("cdhx,dyh->cdyx", tmp, ry.astype(dtype),
+                            precision=prec)
+        diff = (warped - ref[:, None]).astype(jnp.float32)
+        if dist == "L2":
+            return jnp.sum(diff * diff, axis=0)
+        return jnp.sum(jnp.abs(diff), axis=0)
+
+    costs = jax.vmap(per_view)(rots, tras, feat_srcs)
+    return jnp.sum(costs, axis=0) / sigma
+
+
 def warp_feature_volume(feat_srcs, d_candi, rots, tras, intr, unit_rays):
     """Per-view diagonal warp: depth plane d samples feature CHANNEL d at the
     depth-d homography (requires C == D).

@@ -67,3 +67,74 @@ def test_warp_feature_diagonal():
     # identity warp: plane d == channel d of the source features (interior)
     np.testing.assert_allclose(np.asarray(out[:, :, 2:-2, 2:-2]),
                                np.asarray(feats[:, :, 2:-2, 2:-2]), atol=1e-5)
+
+
+# ---- decomposed (MXU) plane sweep ------------------------------------------
+
+
+def _pose_pair(rot_deg=0.0, t=(0.3, 0.0, 0.0)):
+    th = np.radians(rot_deg)
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    poses[0, :3, :3] = rot
+    poses[0, :3, 3] = t
+    return jnp.asarray(poses[:, :3, :3]), jnp.asarray(poses[:, :3, 3])
+
+
+def test_decomposed_matches_gather_identity_rotation():
+    """For pure translations (R == I) the decomposed path reproduces the
+    direct gather warp near-exactly (single bilinear interpolation in both),
+    for any translation direction including forward (tz)."""
+    intr, rays, d_candi = _setup(h=24, w=32, c=6, d=8)
+    rng = np.random.default_rng(3)
+    fa = jnp.asarray(rng.standard_normal((2, 6, 24, 32)).astype(np.float32))
+    fr = jnp.asarray(rng.standard_normal((2, 8, 24, 32)).astype(np.float32))
+    for t in [(0.3, 0.0, 0.0), (0.1, 0.07, 0.0), (0.05, -0.02, -0.4)]:
+        rots, tras = _pose_pair(0.0, t)
+        c_g, w_g = ops.plane_sweep_and_warp(fa, fr, d_candi, rots, tras,
+                                            intr, rays, 10.0)
+        c_d, w_d = ops.plane_sweep_and_warp_decomposed(
+            fa, fr, d_candi, rots, tras, intr, rays, 10.0)
+        np.testing.assert_allclose(np.asarray(c_g), np.asarray(c_d),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_d),
+                                   atol=1e-3)
+        cost_v = ops.plane_sweep_volume(fa[-1], fa[:1], d_candi, rots[:1],
+                                        tras[:1], intr, rays, 10.0)
+        cost_vd = ops.plane_sweep_volume_decomposed(
+            fa[-1], fa[:1], d_candi, rots[:1], tras[:1], intr, rays, 10.0)
+        np.testing.assert_allclose(np.asarray(cost_v), np.asarray(cost_vd),
+                                   atol=2e-3)
+
+
+def test_decomposed_rotation_interior_bounded():
+    """With a real rotation the decomposed path composes two bilinear
+    interpolations (stage-1 homography resample + stage-2 affine), so it is
+    a smoothed version of the direct warp: pinned here as a bounded interior
+    deviation on smooth (encoder-like) features, and a zero border ring no
+    wider than the rotation's pixel displacement."""
+    h, w, d = 24, 32, 8
+    intr, rays, d_candi = _setup(h=h, w=w, c=6, d=d)
+    yy, xx = np.meshgrid(np.arange(h) / h, np.arange(w) / w, indexing="ij")
+    rng = np.random.default_rng(4)
+
+    def smooth(c):
+        ph = rng.uniform(0, 6.28, (c, 3, 1, 1))
+        fr_ = rng.uniform(1.0, 4.0, (c, 3, 1, 1))
+        g = (xx + yy)[None, None]
+        return jnp.asarray(np.sum(np.sin(fr_ * 6.28 * g + ph), axis=1)
+                           .astype(np.float32))
+
+    fa = jnp.stack([smooth(6), smooth(6)])
+    fr = jnp.stack([smooth(d), smooth(d)])
+    rots, tras = _pose_pair(1.5, (0.3, 0.0, 0.0))
+    c_g, w_g = ops.plane_sweep_and_warp(fa, fr, d_candi, rots, tras, intr,
+                                        rays, 10.0)
+    c_d, w_d = ops.plane_sweep_and_warp_decomposed(fa, fr, d_candi, rots,
+                                                   tras, intr, rays, 10.0)
+    m = 3
+    interior = np.abs(np.asarray(c_g - c_d))[:, m:-m, m:-m]
+    scale = float(np.max(np.abs(np.asarray(c_g))))
+    assert interior.max() / scale < 0.12
+    assert interior.mean() / (np.abs(np.asarray(c_g)).mean() + 1e-9) < 0.08
