@@ -55,8 +55,12 @@ def depth_error(predicted, truth):
     log_mae = msum(jnp.abs(d_log)) / n
     nsl = msum(d_log * d_log) / n
     log_rmse = jnp.sqrt(nsl)
-    log_sum = msum(d_log)
-    sil = jnp.sqrt(nsl - (log_sum * log_sum) / (n * n))
+    # scale-invariant log error = std of d_log over valid pixels. The
+    # reference's E[x^2]-E[x]^2 form (evaluate_depth.h:41) catastrophically
+    # cancels in f32 (NaN from sqrt of a tiny negative when the log error is
+    # near-constant); the centered two-pass form is stable and clamped.
+    log_mean = msum(d_log) / n
+    sil = jnp.sqrt(jnp.maximum(msum((d_log - log_mean) ** 2) / n, 0.0))
     abs_rel = msum(d_err / safe_gt) / n
     sq_rel = msum(d_err2 / (safe_gt * safe_gt)) / n
 
