@@ -203,10 +203,10 @@ class LightCurtain:
         (each its own DP dispatch) so a real device can expose curtain i
         while path i+1 is being planned — the reference's streaming planner
         contract (light_curtain.py:376-394, ros_all.py:411)."""
-        def gen():
+        def fields_iter():
             field_z, field_range = self._prepare_field(field, fw, kw)
             fr = _fix_sides(field_range)
-            yield planner.get_design_points(fr)
+            yield fr
 
             # per-ray peak split (vectorized; reference loops: lines 696-703)
             idx = jnp.argmax(fr, axis=0)                          # [C]
@@ -214,21 +214,23 @@ class LightCurtain:
             left = jnp.where(rows < idx[None, :], 1.0, fr)
             right = jnp.where(rows >= idx[None, :], 1.0, fr)
             for pval in cfg["step"]:
-                yield planner.get_design_points(invert_curve(left, pval))
-                yield planner.get_design_points(invert_curve(right, pval))
+                yield invert_curve(left, pval)
+                yield invert_curve(right, pval)
 
         if yield_mode:
-            return gen()
-        return jnp.stack(list(gen()))
+            return (planner.get_design_points(f) for f in fields_iter())
+        # all fields are independent of each other's solves: batch the DP
+        # into ONE vmapped scan (3x fewer sequential column loops on TPU)
+        return jax.vmap(planner.solve_fn())(jnp.stack(list(fields_iter())))
 
     def plan_m1(self, field, planner: PlannerRT, fw: FieldWarp, kw: str,
                 cfg: dict, key: jax.Array, yield_mode: bool = False):
         """Sampling planner: [1 + step, C, 2]."""
-        def gen():
+        def fields_iter():
             field_z, field_range = self._prepare_field(field, fw, kw,
                                                        normalize=False)
             fr = _fix_sides(field_range)
-            yield planner.get_design_points(fr)
+            yield fr
 
             r_bins, c_bins = fr.shape
             interval = int(cfg.get("interval", 1))
@@ -250,11 +252,13 @@ class LightCurtain:
                 mult = work * attract
                 work = jnp.nan_to_num(mult / jnp.sum(mult, axis=0,
                                                      keepdims=True))
-                yield planner.get_design_points(work)
+                yield work
 
         if yield_mode:
-            return gen()
-        return jnp.stack(list(gen()))
+            return (planner.get_design_points(f) for f in fields_iter())
+        # the field refinement chain does not depend on the solves: batch
+        # all DP solves into one vmapped scan
+        return jax.vmap(planner.solve_fn())(jnp.stack(list(fields_iter())))
 
     def plan_sweep(self, field, planner, fw, kw: str, cfg: dict,
                    yield_mode: bool = False):

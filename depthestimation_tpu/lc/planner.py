@@ -100,7 +100,10 @@ def _dp_solve(field, *, phi, xz, dphi_max):
         return (best, phi_c), ptr
 
     init = (fT[0], phi[0])
-    (best_last, _), ptrs = jax.lax.scan(fwd, init, (fT[1:], phi[1:]))
+    # unroll amortizes the TPU per-step loop overhead over 8 tiny [R, R]
+    # column updates (the solve is overhead-bound, not FLOP-bound)
+    (best_last, _), ptrs = jax.lax.scan(fwd, init, (fT[1:], phi[1:]),
+                                        unroll=4)
     # ptrs: [C-1, R]; backtrack
     r_last = jnp.argmax(best_last).astype(jnp.int32)
 
@@ -108,7 +111,7 @@ def _dp_solve(field, *, phi, xz, dphi_max):
         r_cur = ptr_c[r_next]
         return r_cur, r_cur
 
-    _, rs_rev = jax.lax.scan(bwd, r_last, ptrs, reverse=True)
+    _, rs_rev = jax.lax.scan(bwd, r_last, ptrs, reverse=True, unroll=4)
     rs = jnp.concatenate([rs_rev, r_last[None]])                 # [C]
     return jax.vmap(lambda i, row: row[i])(rs, xz)               # [C, 2]
 
@@ -146,7 +149,7 @@ def _dp_solve_accel(field, *, phi, xz, dphi_max, ddphi_max):
         return (new_best, phi_cur, phi_n), ptr
 
     (best_last, _, _), ptrs = jax.lax.scan(
-        fwd, (best0, phi[0], phi[1]), (fT[2:], phi[2:]))
+        fwd, (best0, phi[0], phi[1]), (fT[2:], phi[2:]), unroll=4)
     # best_last: [R(c-2), R(c-1)]; ptrs: [C-2, Rcur, Rnext]
     flat = jnp.argmax(best_last)
     r_prev = (flat // r).astype(jnp.int32)
