@@ -26,10 +26,12 @@ WARMUP = 3
 
 
 def bench_jax() -> float:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from depthestimation_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     import jax
     import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _cfg, _sample_input
     from depthestimation_tpu.models import get_model
 

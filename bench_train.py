@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def bench_train_step(batch: int, iters: int, warmup: int = 2) -> dict:
+    from depthestimation_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     import jax
     import jax.numpy as jnp
 

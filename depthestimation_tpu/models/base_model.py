@@ -60,17 +60,27 @@ class BaseModelNet(nn.Module):
     #: one extra bilinear smoothing otherwise — ops/plane_sweep.py); "gather"
     #: = the direct per-depth 4-tap gather (bit-parity with the torch oracle)
     sweep_impl: str = "decomposed"
+    #: block-level rematerialization: encoder / sweep / Base3D / decoder each
+    #: recompute their activations in the backward, so peak HBM = the largest
+    #: single block instead of the whole graph. Needed for per-chip batch >= 4
+    #: at full size (un-remat'd B=8 wants 28 GB vs 16 GB HBM); ~30% step cost
+    remat: bool = False
 
     def setup(self):
-        self.base_encoder = BaseEncoder(self.feature_dim, self.bn_avg,
-                                        dtype=self.dtype)
-        self.base_decoder = BaseDecoder(self.d, dtype=self.dtype)
+        enc_cls, dec_cls, b3d_cls = BaseEncoder, BaseDecoder, Base3D
+        if self.remat:
+            enc_cls = nn.remat(BaseEncoder, static_argnums=(2,))
+            dec_cls = nn.remat(BaseDecoder)
+            b3d_cls = nn.remat(Base3D, static_argnums=(2, 3))
+        self.base_encoder = enc_cls(self.feature_dim, self.bn_avg,
+                                    dtype=self.dtype)
+        self.base_decoder = dec_cls(self.d, dtype=self.dtype)
         self.conv0 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         self.conv0_1 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         self.conv0_2 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         if self.nmode in ("exp3", "exp4", "exp6", "exp7", "exp7_lc", "lc"):
-            self.based_3d = Base3D(feature_dim=32, dres_count=2,
-                                   bn_avg=self.bn_avg, dtype=self.dtype)
+            self.based_3d = b3d_cls(feature_dim=32, dres_count=2,
+                                    bn_avg=self.bn_avg, dtype=self.dtype)
 
     # -- shared encoder path --------------------------------------------
 
@@ -135,6 +145,11 @@ class BaseModelNet(nn.Module):
             return sweep(
                 fa_i, fr_i, d_candi, poses_i[:, :3, :3], poses_i[:, :3, 3],
                 intr_i, rays_i, self.sigma_soft_max)
+
+        if self.remat:
+            # the [C1, D, H, W] warped volume is the single biggest
+            # activation; recompute it in the backward instead of storing
+            per_item = jax.checkpoint(per_item)
 
         return jax.vmap(per_item)(fa, fr, model_input["src_cam_poses"],
                                   model_input["intrinsics"],
@@ -202,7 +217,7 @@ class BaseModelNet(nn.Module):
             if warped is None:
                 warped = self._warped_features(feat_raw, model_input)
             vol = jnp.concatenate([_nchw(bv)[:, None], warped], axis=1)
-            bv_upd = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=True)
+            bv_upd = self.based_3d(jnp.moveaxis(vol, 1, -1), train, True)
             refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
             return {"output": [_nchw(bv), bv_upd],
                     "output_refined": [_nchw(refined)],
@@ -222,7 +237,7 @@ class BaseModelNet(nn.Module):
                 planes.append(prev_lc[:, None])
             planes.append(warped)
             vol = jnp.concatenate(planes, axis=1)            # [B, C, D, h, w]
-            resi = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=False)
+            resi = self.based_3d(jnp.moveaxis(vol, 1, -1), train, False)
             bv_upd = nn.log_softmax(bv_nchw + resi, axis=1)
             refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
             return {"output": [bv_nchw, bv_upd],
@@ -237,7 +252,7 @@ class BaseModelNet(nn.Module):
                 model_input.get("prev_lc"), bv_nchw.shape, train)
             feat_plane = _nchw(feat_all[:, -1, :, :, :-3])   # [B, C=D, h, w]
             vol = jnp.stack([bv_nchw, prev_output, prev_lc, feat_plane], axis=1)
-            resi = self.based_3d(jnp.moveaxis(vol, 1, -1), train, prob=False)
+            resi = self.based_3d(jnp.moveaxis(vol, 1, -1), train, False)
             bv_upd = nn.log_softmax(bv_nchw + resi, axis=1)
             refined = self.base_decoder(jnp.exp(_nhwc(bv_upd)), feats_dec)
             return {"output": [bv_nchw, bv_upd],

@@ -9,6 +9,21 @@ from depthestimation_tpu.models.base_model import BaseModelNet, DefaultModel
 _DTYPES = {"float32": None, "bfloat16": jnp.bfloat16}
 
 
+def _resolve_remat(cfg) -> bool:
+    """tpu.remat: true/false, or "auto" (default) = remat when the
+    per-device batch is >= 4 — the point where full-size activations
+    overrun one chip's HBM (base_model.BaseModelNet.remat)."""
+    remat = cfg.get("tpu", {}).get("remat", "auto")
+    if remat != "auto":
+        return bool(remat)
+    import jax
+    try:
+        n_dev = max(1, len(jax.devices()))
+    except Exception:
+        n_dev = 1
+    return (int(cfg.train.get("batch_size", 1)) // n_dev) >= 4
+
+
 def get_model(cfg):
     name = cfg.data.model_name
     dtype = _DTYPES.get(cfg.get("tpu", {}).get("dtype", "float32"))
@@ -23,6 +38,7 @@ def get_model(cfg):
             use_lc_prob=cfg.lc.get("use_lc_prob", 0.7),
             dtype=dtype,
             sweep_impl=cfg.var.get("sweep_impl", "decomposed"),
+            remat=_resolve_remat(cfg),
         )
     if name == "default":
         return DefaultModel(d=cfg.var.ndepth)

@@ -90,23 +90,32 @@ def init_state(model, cfg, sample_input, rng) -> tuple:
                       batch_stats=batch_stats, opt_state=opt_state), tx
 
 
-def make_train_step(model, loss_fn, tx, donate: bool = True) -> Callable:
+def make_train_step(model, loss_fn, tx, donate: bool = True,
+                    remat: bool = False) -> Callable:
     """Returns jitted (state, mi_l, mi_r, gt_l, gt_r, rng) -> (state, loss,
-    aux) where aux carries the 1/4-res prev_output/prev_lc feedback."""
+    aux) where aux carries the 1/4-res prev_output/prev_lc feedback.
+
+    ``remat=True`` checkpoints each camside forward: the backward recomputes
+    activations instead of storing them, trading ~30% step time for the
+    memory that lets batch >= 4 fit one chip's HBM (the un-remat'd B=8 step
+    needs 28 GB vs 16 GB available)."""
 
     def step(state: TrainState, mi_l, mi_r, gt_l, gt_r, rng):
         rl, rr = jax.random.split(rng)
 
+        def forward(params, batch_stats, mi, r):
+            variables = {"params": params, "batch_stats": batch_stats}
+            return model.apply(variables, mi, train=True,
+                               rngs={"lc_drop": r}, mutable=["batch_stats"])
+
+        if remat:
+            # static_argnums pins nothing; model_input dicts contain only
+            # arrays + None, which checkpoint handles as pytrees
+            forward = jax.checkpoint(forward)
+
         def compute_loss(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out_l, mut_l = model.apply(variables, mi_l, train=True,
-                                       rngs={"lc_drop": rl},
-                                       mutable=["batch_stats"])
-            variables = {"params": params,
-                         "batch_stats": mut_l["batch_stats"]}
-            out_r, mut_r = model.apply(variables, mi_r, train=True,
-                                       rngs={"lc_drop": rr},
-                                       mutable=["batch_stats"])
+            out_l, mut_l = forward(params, state.batch_stats, mi_l, rl)
+            out_r, mut_r = forward(params, mut_l["batch_stats"], mi_r, rr)
             loss = loss_fn([out_l, out_r], [gt_l, gt_r])
             return loss, (mut_r["batch_stats"], out_l, out_r)
 

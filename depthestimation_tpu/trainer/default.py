@@ -102,6 +102,9 @@ class DefaultTrainer:
         self.rng, init_rng = jax.random.split(self.rng)
         self.state, self.tx = init_state(self.model, self.cfg,
                                          sample_model_input, init_rng)
+        # memory remat is BLOCK-level inside the model (factory._resolve_remat
+        # -> BaseModelNet.remat); the step-level wrapper stays off because an
+        # outer checkpoint cannot reduce the within-forward peak
         self._train_step = make_train_step(self.model, self._loss_with_labels,
                                            self.tx)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(

@@ -92,6 +92,8 @@ def init_distributed():
 
 def main(argv=None):
     args = parse_args(argv)
+    from depthestimation_tpu.utils.compile_cache import enable as _cc
+    _cc()  # persistent XLA cache: full-size compiles drop from minutes to s
     init_distributed()
 
     from depthestimation_tpu.config import load_config
