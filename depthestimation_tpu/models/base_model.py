@@ -60,18 +60,29 @@ class BaseModelNet(nn.Module):
     #: one extra bilinear smoothing otherwise — ops/plane_sweep.py); "gather"
     #: = the direct per-depth 4-tap gather (bit-parity with the torch oracle)
     sweep_impl: str = "decomposed"
-    #: block-level rematerialization: encoder / sweep / Base3D / decoder each
-    #: recompute their activations in the backward, so peak HBM = the largest
-    #: single block instead of the whole graph. Needed for per-chip batch >= 4
-    #: at full size (un-remat'd B=8 wants 28 GB vs 16 GB HBM); ~30% step cost
-    remat: bool = False
+    #: block-level rematerialization: the checkpointed blocks recompute their
+    #: activations in the backward, so peak HBM = the largest single block
+    #: instead of the whole graph. Needed for per-chip batch >= 4 at full
+    #: size (un-remat'd B=8 wants 28 GB vs 16 GB HBM). False/"none" = off;
+    #: "hot" = sweep + Base3D only (the two biggest activation producers);
+    #: True/"full" = also encoder + decoder
+    remat: Any = False
+
+    def _remat_mode(self) -> str:
+        if self.remat in (False, None, "none"):
+            return "none"
+        if self.remat == "hot":
+            return "hot"
+        return "full"
 
     def setup(self):
         enc_cls, dec_cls, b3d_cls = BaseEncoder, BaseDecoder, Base3D
-        if self.remat:
+        mode = self._remat_mode()
+        if mode != "none":
+            b3d_cls = nn.remat(Base3D, static_argnums=(2, 3))
+        if mode == "full":
             enc_cls = nn.remat(BaseEncoder, static_argnums=(2,))
             dec_cls = nn.remat(BaseDecoder)
-            b3d_cls = nn.remat(Base3D, static_argnums=(2, 3))
         self.base_encoder = enc_cls(self.feature_dim, self.bn_avg,
                                     dtype=self.dtype)
         self.base_decoder = dec_cls(self.d, dtype=self.dtype)
@@ -146,7 +157,7 @@ class BaseModelNet(nn.Module):
                 fa_i, fr_i, d_candi, poses_i[:, :3, :3], poses_i[:, :3, 3],
                 intr_i, rays_i, self.sigma_soft_max)
 
-        if self.remat:
+        if self._remat_mode() != "none":
             # the [C1, D, H, W] warped volume is the single biggest
             # activation; recompute it in the backward instead of storing
             per_item = jax.checkpoint(per_item)
