@@ -138,3 +138,30 @@ def test_decomposed_rotation_interior_bounded():
     scale = float(np.max(np.abs(np.asarray(c_g))))
     assert interior.max() / scale < 0.12
     assert interior.mean() / (np.abs(np.asarray(c_g)).mean() + 1e-9) < 0.08
+
+
+def test_decomposed_gradients_match_gather_identity_rotation():
+    """The decomposed path's BACKWARD (matmul transposes) produces the same
+    input gradients as the gather path's (scatter-add transpose) for pure
+    translations — the regime where the forwards agree exactly."""
+    import jax
+
+    intr, rays, d_candi = _setup(h=16, w=24, c=4, d=6)
+    rng = np.random.default_rng(5)
+    fa = jnp.asarray(rng.standard_normal((2, 4, 16, 24)).astype(np.float32))
+    fr = jnp.asarray(rng.standard_normal((2, 6, 16, 24)).astype(np.float32))
+    rots, tras = _pose_pair(0.0, (0.25, 0.05, -0.2))
+
+    def loss(op):
+        def f(fa_, fr_):
+            c, w_ = op(fa_, fr_, d_candi, rots, tras, intr, rays, 10.0)
+            return jnp.sum(c * jnp.cos(c)) + jnp.sum(w_ * jnp.sin(w_))
+        return f
+
+    g_g = jax.grad(loss(ops.plane_sweep_and_warp), argnums=(0, 1))(fa, fr)
+    g_d = jax.grad(loss(ops.plane_sweep_and_warp_decomposed),
+                   argnums=(0, 1))(fa, fr)
+    np.testing.assert_allclose(np.asarray(g_g[0]), np.asarray(g_d[0]),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(g_g[1]), np.asarray(g_d[1]),
+                               atol=5e-3)
