@@ -118,9 +118,14 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
                 out.setdefault(f"train_fps_b{r['batch']}",
                                r["frames_per_sec"])
                 out.setdefault(f"train_step_b{r['batch']}_ms", r["step_ms"])
-    fps = [v for k, v in sorted(out.items()) if k.startswith("train_fps_")]
-    if len(fps) >= 2 and fps[0] > 0:
-        out["train_batch_scaling"] = round(max(fps) / fps[0], 3)
+    # scaling = per-sample throughput at the LARGEST batch vs batch 1 — a
+    # B_max regression must show up here (max() over batches would let a
+    # mid-batch peak mask it)
+    by_batch = {int(k.split("_b")[-1]): v for k, v in out.items()
+                if k.startswith("train_fps_")}
+    if len(by_batch) >= 2 and by_batch.get(min(by_batch), 0) > 0:
+        out["train_batch_scaling"] = round(
+            by_batch[max(by_batch)] / by_batch[min(by_batch)], 3)
     return out
 
 

@@ -23,7 +23,25 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_train_step(batch: int, iters: int, warmup: int = 2) -> dict:
+def _tpu_peak_flops(device) -> float | None:
+    """Peak dense-matmul FLOPs/s for the MFU denominator (bf16 MXU peak —
+    the standard convention even for f32 runs, which decompose onto the
+    same MXU passes)."""
+    kind = getattr(device, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v5p" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    return None
+
+
+def bench_train_step(batch: int, iters: int, warmup: int = 2,
+                     dtype: str | None = None, remat: str | None = None,
+                     with_cost: bool = False) -> dict:
     from depthestimation_tpu.utils.compile_cache import enable as _cc
     _cc()
 
@@ -38,6 +56,10 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2) -> dict:
     from depthestimation_tpu.trainer.default import _soft_labels
 
     cfg = _cfg(batch=batch, nmode="exp7")
+    if dtype:
+        cfg["tpu"]["dtype"] = dtype
+    if remat:
+        cfg["tpu"]["remat"] = remat
     model = get_model(cfg)
     loss = get_loss(cfg)
     mi, gt = _sample_input(cfg, batch=batch)
@@ -65,6 +87,17 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2) -> dict:
     l.block_until_ready()
     compile_s = time.perf_counter() - t_compile
 
+    flops = None
+    if with_cost:
+        try:  # XLA cost analysis of the whole compiled step (fwd+bwd+Adam)
+            ca = step.lower(state, mi, mi, gt, gt, key).compile()\
+                .cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca["flops"])
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     for i in range(warmup):
         state, l, _ = step(state, mi, mi, gt, gt,
                            jax.random.fold_in(key, i))
@@ -76,30 +109,49 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2) -> dict:
                            jax.random.fold_in(key, 100 + i))
     l.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
-    return {"batch": batch, "step_ms": round(dt * 1e3, 2),
-            "frames_per_sec": round(batch / dt, 3),
-            "compile_s": round(compile_s, 1),
-            "loss": round(float(l), 4)}
+    out = {"batch": batch, "step_ms": round(dt * 1e3, 2),
+           "frames_per_sec": round(batch / dt, 3),
+           "compile_s": round(compile_s, 1),
+           "loss": round(float(l), 4)}
+    if flops:
+        out["step_gflops"] = round(flops / 1e9, 1)
+        out["achieved_tflops"] = round(flops / dt / 1e12, 2)
+        peak = _tpu_peak_flops(jax.devices()[0])
+        if peak:
+            out["mfu"] = round(flops / dt / peak, 4)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4, 8])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default=None,
+                    help="tpu.dtype override (float32/bfloat16)")
+    ap.add_argument("--remat", default=None,
+                    help="tpu.remat override (auto/none/hot/full)")
+    ap.add_argument("--cost", action="store_true",
+                    help="report XLA-cost-analysis FLOPs + MFU")
+    ap.add_argument("--no-save", action="store_true",
+                    help="don't overwrite benchmarks/bench_train.json")
     args = ap.parse_args()
 
     results = []
     for b in args.batches:
-        r = bench_train_step(b, args.iters)
+        r = bench_train_step(b, args.iters, dtype=args.dtype,
+                             remat=args.remat, with_cost=args.cost)
         results.append(r)
         print(json.dumps({"metric": f"train_step_b{b}_kitti_384x256_d64",
                           "value": r["frames_per_sec"],
-                          "unit": "frames/sec", "step_ms": r["step_ms"]}),
+                          "unit": "frames/sec", **{k: v for k, v in r.items()
+                                                   if k not in ("batch",
+                                                                "frames_per_sec")}}),
               flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "benchmarks", "bench_train.json")
-    json.dump(results, open(out, "w"), indent=1)
+    if not args.no_save:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "bench_train.json")
+        json.dump(results, open(out, "w"), indent=1)
     if len(results) >= 2:
         scaling = results[-1]["frames_per_sec"] / results[0]["frames_per_sec"]
         print(json.dumps({"metric": "train_batch_scaling"

@@ -107,7 +107,22 @@ def upsample_depth(depth, filtering: int, maxdiff: float) -> np.ndarray:
 
 def upsample_velodyne(pts_cam, params: dict) -> np.ndarray:
     """Polar-grid densification (utils_lib.cpp:97-161). pts_cam: [N, >=3]
-    camera-frame points; returns [M, 4] homogeneous points."""
+    camera-frame points; returns [M, 4] homogeneous points. Dispatches to
+    the OpenMP kernel when built; ``upsample_velodyne_np`` is the oracle."""
+    k = _native()
+    if k is not None:
+        return k.upsample_velodyne(
+            np.ascontiguousarray(np.asarray(pts_cam, np.float32)),
+            float(params["upsample"]),
+            int(params.get("total_vbeams", 128)),
+            int(params.get("total_hbeams", 1500)),
+            float(params.get("vbeam_fov", 0.2)),
+            float(params.get("hbeam_fov", 0.08)))
+    return upsample_velodyne_np(pts_cam, params)
+
+
+def upsample_velodyne_np(pts_cam, params: dict) -> np.ndarray:
+    """Numpy backend of :func:`upsample_velodyne` (golden oracle)."""
     scale = float(params["upsample"])
     total_vbeams = int(params.get("total_vbeams", 128))
     total_hbeams = int(params.get("total_hbeams", 1500))
@@ -185,7 +200,19 @@ def generate_depth(velodata, intr, M_velo2cam, width: int, height: int,
 def lc_generate(proj_points, sweep_int, sweep_z, lc_width: int,
                 lc_height: int, nir_img):
     """Gather 128-plane sweep features at projected RGB pixels
-    (utils_lib.cpp:20-50). proj_points: [N, 3] (u, v, z)."""
+    (utils_lib.cpp:20-50). proj_points: [N, 3] (u, v, z). Dispatches to the
+    OpenMP kernel when built; ``lc_generate_np`` is the oracle."""
+    k = _native()
+    if k is not None:
+        return k.lc_generate(proj_points, sweep_int, sweep_z, lc_width,
+                             lc_height, nir_img)
+    return lc_generate_np(proj_points, sweep_int, sweep_z, lc_width,
+                          lc_height, nir_img)
+
+
+def lc_generate_np(proj_points, sweep_int, sweep_z, lc_width: int,
+                   lc_height: int, nir_img):
+    """Numpy backend of :func:`lc_generate` (golden oracle)."""
     n = proj_points.shape[0]
     planes = sweep_int.shape[0]
     feat_int = np.zeros((planes, n), np.float32)

@@ -9,11 +9,17 @@ from depthestimation_tpu.models.base_model import BaseModelNet, DefaultModel
 _DTYPES = {"float32": None, "bfloat16": jnp.bfloat16}
 
 
-def _resolve_remat(cfg) -> bool:
-    """tpu.remat: true/false, or "auto" (default) = remat when the
-    per-device batch is >= 4 — the point where full-size activations
-    overrun one chip's HBM (base_model.BaseModelNet.remat)."""
+def _resolve_remat(cfg):
+    """tpu.remat: true/false, a granularity string ("none"/"hot"/"full"),
+    or "auto" (default) = remat when the per-device batch is >= 4 — the
+    point where full-size activations overrun one chip's HBM
+    (base_model.BaseModelNet.remat)."""
     remat = cfg.get("tpu", {}).get("remat", "auto")
+    if isinstance(remat, str) and remat != "auto":
+        if remat not in ("none", "hot", "full"):
+            raise ValueError(f"tpu.remat must be true/false/auto/none/hot/"
+                             f"full, got {remat!r}")
+        return remat
     if remat != "auto":
         return bool(remat)
     import jax

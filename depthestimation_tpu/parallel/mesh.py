@@ -33,6 +33,23 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(place, tree)
 
 
+def shard_frames(tree, mesh: Mesh, axis: str = "data"):
+    """Place a stacked-trajectory pytree with dim 0 = FRAMES (scan axis,
+    replicated) and dim 1 = batch sharded over the mesh axis."""
+    n = mesh.devices.size
+
+    def place(x):
+        import jax.numpy as jnp
+        x = jnp.asarray(x)
+        if x.ndim >= 2 and x.shape[1] % n == 0 and x.shape[1] >= n:
+            spec = P(None, axis, *([None] * (x.ndim - 2)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
@@ -58,3 +75,23 @@ def global_min_steps(local_steps: int, allgather=None) -> int:
         allgather = process_allgather
     counts = np.asarray(allgather(np.int64(local_steps)))
     return int(counts.min())
+
+
+def global_any(flag: bool, allgather=None) -> bool:
+    """True if ``flag`` is set on ANY host.
+
+    Used as a per-iteration skip vote: when one host draws a corrupted
+    batch, every host must skip in lockstep — a lone ``continue`` would
+    leave that host one jitted step (and its gradient psum) behind its
+    peers, deadlocking the collective. The vote itself is a collective, so
+    callers must invoke it every iteration on every host, valid or not.
+
+    ``allgather`` is injectable for single-process tests.
+    """
+    if allgather is None:
+        if jax.process_count() <= 1:
+            return bool(flag)
+        from jax.experimental.multihost_utils import process_allgather
+        allgather = process_allgather
+    flags = np.asarray(allgather(np.int64(bool(flag))))
+    return bool(flags.max())

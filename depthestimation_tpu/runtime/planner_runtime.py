@@ -17,6 +17,7 @@ Sensor parameter JSONs (real_sensor.json etc.) load via
 from __future__ import annotations
 
 import copy
+import hashlib
 import json
 from typing import Callable, Optional
 
@@ -298,8 +299,13 @@ class PlannerRuntime:
         uf_p, _ = gen_ufield(self.final[0], d_candi, intr, self.uf_params,
                              log=True)
         if self.real_lc.transform_needed:
-            key = id(depth_truth) if hasattr(depth_truth, "__hash__") else None
-            if getattr(self, "_truth_key", None) != key or key is None:
+            # Cache the (expensive) truth-field warp keyed on CONTENT, not
+            # id(): CPython reuses freed addresses, so an id() key can hand a
+            # new frame the previous frame's cached truth field.
+            arr = np.ascontiguousarray(np.asarray(depth_truth))
+            key = (arr.shape, hashlib.blake2b(arr.tobytes(),
+                                              digest_size=16).digest())
+            if getattr(self, "_truth_key", None) != key:
                 self._truth_lc = self.truth_uf_lc(depth_truth)
                 self._truth_key = key
             uf_p = self._to_lc_field(uf_p)

@@ -213,6 +213,9 @@ class DefaultTrainer:
         mi = mesh_lib.shard_batch(mi, self.mesh)
         mi["prev_output"] = self.prev_output[camside]
         mi["prev_lc"] = self.prev_lc[camside]
+        return mi, self._device_gt(gt_input)
+
+    def _device_gt(self, gt_input):
         gt = mesh_lib.shard_batch(dict(gt_input), self.mesh)
         var = jnp.float32(self.cfg.var.softce)
         d_candi = jnp.asarray(self.d_candi, jnp.float32)
@@ -221,7 +224,7 @@ class DefaultTrainer:
         gt["soft_labels_imgsize"] = _soft_labels(
             gt["dmap_imgsizes"], gt["masks_imgsizes"], d_candi, var,
             len(self.d_candi))
-        return mi, gt
+        return gt
 
     # -- public API ------------------------------------------------------------
 
@@ -237,6 +240,17 @@ class DefaultTrainer:
             self.eval()
 
     def eval(self):
+        # LC-off, no-self-recursion eval runs the in-graph lax.scan rollout
+        # (models/rollout.py): whole trajectory chunks on device, no host
+        # round-trip per frame (SURVEY §7 stage 6). The LC/self-recurse
+        # paths keep the per-frame loop (their feedback crosses jit
+        # boundaries by design).
+        use_scan = (self.lc is None and self.self_recurse == 1
+                    and not bool(self.cfg.var.get("viz", False))
+                    and not self.video_path
+                    and bool(self.cfg.get("tpu", {}).get("scan_eval", True)))
+        if use_scan:
+            return self._validate_scan()
         return self._validate_with_gt()
 
     # -- epochs -------------------------------------------------------------
@@ -248,8 +262,15 @@ class DefaultTrainer:
         # data, hosts would otherwise run different numbers of jitted steps
         # and the gradient psum would hang (VERDICT r1 weak #3).
         max_steps = mesh_lib.global_min_steps(self.train_loader.epoch_length())
+        multihost = jax.process_count() > 1
         for batch in self.train_loader.enumerate(max_steps=max_steps):
-            if not batch.get("is_valid", True):
+            # Per-iteration skip vote: equalized step COUNTS alone don't keep
+            # hosts in lockstep when one host draws a corrupted batch — all
+            # hosts must skip (or step) together or the grad psum hangs.
+            invalid = not batch.get("is_valid", True)
+            if multihost:
+                invalid = mesh_lib.global_any(invalid)
+            if invalid:
                 self._log.info(self.id, "Corrupted Data! Skipping batch "
                                f"{batch['batch_idx']+1} frame "
                                f"{batch['frame_count']+1}")
@@ -320,13 +341,98 @@ class DefaultTrainer:
         from jax.experimental.multihost_utils import sync_global_devices
         sync_global_devices(f"epoch_{self.i_epoch}")
 
+    # frame-varying model-input/GT fields; everything else (intrinsics,
+    # unit rays, d_candi, stereo transform) is constant within a video batch
+    _PER_FRAME_KEYS = ("rgb", "src_cam_poses", "dmaps", "masks", "dmaps_up",
+                       "dmap_imgsizes", "masks_imgsizes")
+
+    def _validate_scan(self, chunk_len: int = 8):
+        """Eval via the in-graph lax.scan rollout: trajectory chunks run as
+        ONE device program each, with the prev_output feedback carried on
+        device across frames (and across chunk flushes). Numerics match the
+        per-frame path (tests/test_scan_eval.py)."""
+        from depthestimation_tpu.models.rollout import make_rollout
+
+        if not hasattr(self, "_rollout_fn"):
+            self._rollout_fn = jax.jit(make_rollout(self.model))
+
+        errors, errors_refined, errors_unc = [], [], []
+        d_candi = jnp.asarray(self.d_candi, jnp.float32)
+        multihost = jax.process_count() > 1
+        val_steps = (mesh_lib.global_min_steps(self.val_loader.epoch_length())
+                     if multihost else None)
+
+        buf_mi, buf_gt = [], []
+        carry = {"prev_output": None, "prev_lc": None}
+
+        def flush():
+            if not buf_mi:
+                return
+            stacked = {k: jnp.asarray(np.stack([m[k] for m in buf_mi]))
+                       for k in self._PER_FRAME_KEYS if k in buf_mi[0]}
+            stacked = mesh_lib.shard_frames(stacked, self.mesh)
+            static = {k: v for k, v in buf_mi[0].items()
+                      if k not in self._PER_FRAME_KEYS
+                      and k not in ("prev_output", "prev_lc",
+                                    "d_candi", "d_candi_up")}
+            static = mesh_lib.shard_batch(static, self.mesh)
+            static["d_candi"] = buf_mi[0]["d_candi"]
+            static["d_candi_up"] = buf_mi[0]["d_candi_up"]
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            out = self._rollout_fn(variables, stacked, static,
+                                   carry["prev_output"], carry["prev_lc"])
+            carry["prev_output"] = out["prev_output"]
+            carry["prev_lc"] = out["prev_lc"]
+            for t, gt_t in enumerate(buf_gt):
+                dgt = self._device_gt(gt_t)
+                dpv = out["output"][t]
+                dpv_ref = out["output_refined"][t]
+                depth = dpv_ops.dpv_to_depthmap(dpv, d_candi, log=True)
+                depth_ref = dpv_ops.dpv_to_depthmap(dpv_ref, d_candi,
+                                                    log=True)
+                self._frame_metrics(depth, depth_ref, dpv_ref, dgt, d_candi,
+                                    errors, errors_refined, errors_unc)
+            buf_mi.clear()
+            buf_gt.clear()
+
+        from depthestimation_tpu.data.video_synthetic import assemble_inputs
+        stereo = bool(self.cfg.var.get("stereo", False))
+        for batch in self.val_loader.enumerate(max_steps=val_steps):
+            invalid = not batch.get("is_valid", True)
+            if multihost:
+                invalid = mesh_lib.global_any(invalid)
+            if invalid:
+                # flush what we have; the recursion keeps its carry (the
+                # reference skips the frame but keeps prev_output)
+                flush()
+                self._log.info(self.id, "Corrupted Data! Skipping val batch")
+                continue
+            if batch["frame_count"] == 0:
+                flush()
+                carry["prev_output"] = None
+                carry["prev_lc"] = None
+            mi_l, gt_l = assemble_inputs(batch, "left", stereo)
+            self.ensure_state({**mi_l, "prev_output": None, "prev_lc": None})
+            buf_mi.append(mi_l)
+            buf_gt.append(gt_l)
+            if len(buf_mi) >= chunk_len:
+                flush()
+        flush()
+        return self._finish_validation(errors, errors_refined, errors_unc)
+
     def _validate_with_gt(self):
         errors, errors_refined, errors_unc = [], [], []
         d_candi = jnp.asarray(self.d_candi, jnp.float32)
+        multihost = jax.process_count() > 1
         val_steps = (mesh_lib.global_min_steps(self.val_loader.epoch_length())
-                     if jax.process_count() > 1 else None)
+                     if multihost else None)
+        out = None
         for batch in self.val_loader.enumerate(max_steps=val_steps):
-            if not batch.get("is_valid", True):
+            invalid = not batch.get("is_valid", True)
+            if multihost:  # lockstep skip vote (see _run_one_epoch)
+                invalid = mesh_lib.global_any(invalid)
+            if invalid:
                 self._log.info(self.id, "Corrupted Data! Skipping val batch")
                 continue
             if batch["frame_count"] == 0:
@@ -359,24 +465,33 @@ class DefaultTrainer:
             if self.cfg.var.get("viz", False) or self.video_path:
                 self._visualize(mi_l, dgt_l, depth_ref, dpv_ref, d_candi)
 
-            for b in range(depth.shape[0]):
-                mask = dgt_l["masks"][b, 0]
-                mask_ref = dgt_l["masks_imgsizes"][b, 0]
-                gt_small = jnp.clip(dgt_l["dmaps"][b], None, self.d_candi[-1])
-                gt_large = jnp.clip(dgt_l["dmap_imgsizes"][b], None,
-                                    self.d_candi[-1])
-                errors.append(np.asarray(metrics_ops.depth_error(
-                    depth[b] * mask, gt_small)))
-                errors_refined.append(np.asarray(metrics_ops.depth_error(
-                    depth_ref[b] * mask_ref, gt_large)))
+            self._frame_metrics(depth, depth_ref, dpv_ref, dgt_l, d_candi,
+                                errors, errors_refined, errors_unc)
 
-                uf_t, uf_p, _ = ufield_ops.compute_unc_field(
-                    dpv_ref[b], dgt_l["soft_labels_imgsize"][b], d_candi,
-                    dgt_l["intrinsics_up"][b], dgt_l["masks_imgsizes"][b, 0],
-                    self.uf_params)
-                errors_unc.append(float(ufield_ops.compute_unc_rmse(
-                    uf_t, uf_p, d_candi)))
+        return self._finish_validation(errors, errors_refined, errors_unc)
 
+    def _frame_metrics(self, depth, depth_ref, dpv_ref, dgt_l, d_candi,
+                       errors, errors_refined, errors_unc):
+        """Per-batch-item KITTI depth metrics + UF error for one frame."""
+        for b in range(depth.shape[0]):
+            mask = dgt_l["masks"][b, 0]
+            mask_ref = dgt_l["masks_imgsizes"][b, 0]
+            gt_small = jnp.clip(dgt_l["dmaps"][b], None, self.d_candi[-1])
+            gt_large = jnp.clip(dgt_l["dmap_imgsizes"][b], None,
+                                self.d_candi[-1])
+            errors.append(np.asarray(metrics_ops.depth_error(
+                depth[b] * mask, gt_small)))
+            errors_refined.append(np.asarray(metrics_ops.depth_error(
+                depth_ref[b] * mask_ref, gt_large)))
+
+            uf_t, uf_p, _ = ufield_ops.compute_unc_field(
+                dpv_ref[b], dgt_l["soft_labels_imgsize"][b], d_candi,
+                dgt_l["intrinsics_up"][b], dgt_l["masks_imgsizes"][b, 0],
+                self.uf_params)
+            errors_unc.append(float(ufield_ops.compute_unc_rmse(
+                uf_t, uf_p, d_candi)))
+
+    def _finish_validation(self, errors, errors_refined, errors_unc):
         results = metrics_ops.eval_errors(errors)
         results_refined = metrics_ops.eval_errors(errors_refined)
         error_keys = ["rmse", "rmse_refined", "sil", "sil_refined", "rmse_unc"]
@@ -426,16 +541,23 @@ class DefaultTrainer:
 
     def _tensorboard(self, keys, values):
         """Optional tensorboard scalars (reference default_trainer.py:
-        389-393); silently off when no writer backend is available."""
+        389-393); off when no writer backend is available, but a transient
+        write failure only skips this epoch — it does not disable logging."""
+        if getattr(self, "_tb_off", False):
+            return
         try:
-            if not hasattr(self, "_tb"):
+            if getattr(self, "_tb", None) is None:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(os.path.join(self.save_root, "tb"))
+        except Exception:
+            self._tb_off = True  # backend unavailable: permanently off
+            return
+        try:
             for k, v in zip(keys, values):
                 self._tb.add_scalar(k, float(v), self.i_epoch)
             self._tb.flush()
-        except Exception:
-            self._tb = None
+        except Exception as e:
+            self._log.info(self.id, f"tensorboard write failed: {e}")
 
     def save_model(self, rmse_refined: float):
         if self.id != 0 or self.state is None:

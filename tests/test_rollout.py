@@ -54,7 +54,9 @@ def test_rollout_matches_python_loop():
     # legitimately differs in float reassociation; compiled-vs-compiled the
     # scan must match the loop exactly)
     single = jax.jit(lambda v, m: model.apply(v, m, train=False))
-    prev = jnp.full((1, 32, 16, 24), jnp.log(1.0 / 32), jnp.float32)
+    # frame 0: prev_output=None lets the model pick its own t=0 default
+    # (prob-uniform for exp7) — the rollout must match that convention
+    prev = None
     for t, f in enumerate(frames):
         mi = dict(f)
         mi["prev_output"] = prev
@@ -64,3 +66,15 @@ def test_rollout_matches_python_loop():
         np.testing.assert_allclose(np.asarray(out["output_refined"][t]),
                                    np.asarray(o["output_refined"][-1]),
                                    atol=1e-5)
+
+    # chunked rollout with carried state == one full scan (the eval loop
+    # splits long trajectories into chunks, carrying prev across flushes)
+    first = {k: v[:2] for k, v in stacked.items()}
+    rest = {k: v[2:] for k, v in stacked.items()}
+    o1 = rollout(variables, first, static)
+    o2 = rollout(variables, rest, static, prev_output=o1["prev_output"],
+                 prev_lc=o1["prev_lc"])
+    chunked = np.concatenate([np.asarray(o1["output_refined"]),
+                              np.asarray(o2["output_refined"])])
+    np.testing.assert_allclose(chunked, np.asarray(out["output_refined"]),
+                               atol=1e-5)
