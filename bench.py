@@ -105,9 +105,13 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
         for b in batches:
             if time.perf_counter() - t_start > budget_s:
                 raise TimeoutError("train-bench budget exhausted")
-            r = bench_train_step(b, iters=4)
+            # cost analysis on the largest batch -> MFU vs the v5e roofline
+            r = bench_train_step(b, iters=4, with_cost=(b == max(batches)))
             out[f"train_fps_b{b}"] = r["frames_per_sec"]
             out[f"train_step_b{b}_ms"] = r["step_ms"]
+            if "mfu" in r:
+                out["train_mfu"] = r["mfu"]
+                out["train_achieved_tflops"] = r["achieved_tflops"]
     except Exception as e:
         print(f"train bench failed ({e}); using cached bench_train.json",
               file=sys.stderr)
@@ -118,6 +122,10 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
                 out.setdefault(f"train_fps_b{r['batch']}",
                                r["frames_per_sec"])
                 out.setdefault(f"train_step_b{r['batch']}_ms", r["step_ms"])
+                if "mfu" in r:
+                    out.setdefault("train_mfu", r["mfu"])
+                    out.setdefault("train_achieved_tflops",
+                                   r["achieved_tflops"])
     # scaling = per-sample throughput at the LARGEST batch vs batch 1 — a
     # B_max regression must show up here (max() over batches would let a
     # mid-batch peak mask it)

@@ -33,12 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------- torch side
 
-def _torch_mirror(params, mi, nmode, sigma_soft_max, d_bins):
-    """Reference-formulation forward in torch, weights from the flax tree."""
+def _torch_mirror(params, mi, nmode, sigma_soft_max, d_bins,
+                  as_numpy: bool = True):
+    """Reference-formulation forward in torch, weights from the flax tree.
+
+    ``params`` leaves may be numpy arrays OR torch tensors/Parameters — the
+    latter keeps autograd connected, which parity_train.py uses to train
+    the mirror with torch Adam."""
     import torch
     import torch.nn.functional as F
 
-    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    t = lambda a: (a if isinstance(a, torch.Tensor)
+                   else torch.from_numpy(np.asarray(a, np.float32)))
 
     def conv2d(p, x, stride=1, pad=0, dil=1):
         w = t(p["Conv_0"]["kernel"]).permute(3, 2, 0, 1)
@@ -219,8 +225,10 @@ def _torch_mirror(params, mi, nmode, sigma_soft_max, d_bins):
 
     refined = decoder(params["base_decoder"], torch.exp(bv_upd),
                       feat_all[:, -1, :-3], out1[:, -1], rgb[:, -1])
-    return {"bv": bv.numpy(), "bv_upd": bv_upd.numpy(),
-            "refined": refined.numpy()}
+    out = {"bv": bv, "bv_upd": bv_upd, "refined": refined}
+    if as_numpy:
+        out = {k: v.detach().numpy() for k, v in out.items()}
+    return out
 
 
 # ----------------------------------------------------------------- jax side
@@ -260,7 +268,8 @@ def main():
 
     out_t = _torch_mirror(params_np, mi, "exp7", 10.0, d_bins)
 
-    report = {}
+    report = {"config": {"feature_dim": fd, "d_bins": d_bins, "w": w, "h": h,
+                         "full": bool(args.full)}}
     for name, (jx, tx) in {
         "bv": (np.asarray(out_j["output"][0]), out_t["bv"]),
         "bv_upd": (np.asarray(out_j["output"][1]), out_t["bv_upd"]),
@@ -289,7 +298,7 @@ def main():
                             "parity_forward.json")
     json.dump(report, open(out_path, "w"), indent=1)
     for k, v in report.items():
-        print(f"{k}: {v:.6g}")
+        print(f"{k}: {v:.6g}" if isinstance(v, float) else f"{k}: {v}")
 
     ok = report["depth_rmse_rel_diff_pct"] < 1.0
     print("PARITY " + ("OK (<1% depth-RMSE difference)" if ok else "FAILED"))

@@ -90,6 +90,8 @@ def make_basement_scene(intr, w: int, h: int, far_wall: float = 16.5,
 def run_config(name: str, planner: str, params: dict, n_bins: int,
                iters: int, seed: int = 0, verbose: bool = True):
     import jax
+    from depthestimation_tpu.utils.compile_cache import honor_jax_platforms_env
+    honor_jax_platforms_env()  # make JAX_PLATFORMS=cpu actually stick
     from depthestimation_tpu.runtime.planner_runtime import PlannerRuntime
 
     raw = json.load(open(SENSOR_JSON))

@@ -65,22 +65,25 @@ class BaseModelNet(nn.Module):
     #: instead of the whole graph. Needed for per-chip batch >= 4 at full
     #: size (un-remat'd B=8 wants 28 GB vs 16 GB HBM). False/"none" = off;
     #: "hot" = sweep + Base3D only (the two biggest activation producers);
-    #: True/"full" = also encoder + decoder
+    #: True/"full" = also encoder + decoder; "save3d" = remat encoder +
+    #: decoder + sweep but STORE Base3D — Base3D is ~2/3 of the forward
+    #: FLOPs yet its interior is only ~3 GB at batch 8, so storing it keeps
+    #: most of the memory win while skipping the most expensive recompute
     remat: Any = False
 
     def _remat_mode(self) -> str:
         if self.remat in (False, None, "none"):
             return "none"
-        if self.remat == "hot":
-            return "hot"
+        if self.remat in ("hot", "save3d"):
+            return self.remat
         return "full"
 
     def setup(self):
         enc_cls, dec_cls, b3d_cls = BaseEncoder, BaseDecoder, Base3D
         mode = self._remat_mode()
-        if mode != "none":
+        if mode in ("hot", "full"):
             b3d_cls = nn.remat(Base3D, static_argnums=(2, 3))
-        if mode == "full":
+        if mode in ("full", "save3d"):
             enc_cls = nn.remat(BaseEncoder, static_argnums=(2,))
             dec_cls = nn.remat(BaseDecoder)
         self.base_encoder = enc_cls(self.feature_dim, self.bn_avg,

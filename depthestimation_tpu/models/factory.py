@@ -16,9 +16,9 @@ def _resolve_remat(cfg):
     (base_model.BaseModelNet.remat)."""
     remat = cfg.get("tpu", {}).get("remat", "auto")
     if isinstance(remat, str) and remat != "auto":
-        if remat not in ("none", "hot", "full"):
+        if remat not in ("none", "hot", "full", "save3d"):
             raise ValueError(f"tpu.remat must be true/false/auto/none/hot/"
-                             f"full, got {remat!r}")
+                             f"full/save3d, got {remat!r}")
         return remat
     if remat != "auto":
         return bool(remat)

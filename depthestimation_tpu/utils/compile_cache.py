@@ -10,8 +10,26 @@ from __future__ import annotations
 import os
 
 
+def honor_jax_platforms_env() -> None:
+    """Make an explicit ``JAX_PLATFORMS`` env var actually stick.
+
+    The ambient accelerator plugin overrides ``jax_platforms`` at import
+    time, SILENTLY ignoring the env var — ``JAX_PLATFORMS=cpu python
+    train.py`` would otherwise run on the TPU. jax.config.update after
+    import wins (tests/conftest.py uses the same mechanism)."""
+    v = os.environ.get("JAX_PLATFORMS")
+    if not v:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", v)
+    except Exception:
+        pass
+
+
 def enable(path: str | None = None) -> None:
     """Best-effort: old jax versions or read-only filesystems just no-op."""
+    honor_jax_platforms_env()
     path = path or os.environ.get("DEPTHTPU_COMPILE_CACHE",
                                   os.path.expanduser("~/.cache/depthtpu_xla"))
     try:

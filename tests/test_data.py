@@ -335,6 +335,7 @@ def test_resolve_remat_modes():
     assert _resolve_remat(cfg("none")) == "none"
     assert _resolve_remat(cfg("hot")) == "hot"
     assert _resolve_remat(cfg("full")) == "full"
+    assert _resolve_remat(cfg("save3d")) == "save3d"
     assert _resolve_remat(cfg(True)) is True
     assert _resolve_remat(cfg(False)) is False
     with pytest.raises(ValueError):

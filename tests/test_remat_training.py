@@ -47,13 +47,15 @@ def test_remat_matches_plain_step():
     np.testing.assert_allclose(np.asarray(results[False][1]),
                                np.asarray(results[True][1]), atol=1e-6)
 
-    # block-level remat (encoder/sweep/base3d/decoder checkpointed inside
-    # the model — the config path: tpu.remat / auto at batch >= 4)
-    cfg["tpu"] = {"mesh": "auto", "dtype": "float32", "donate": False,
-                  "remat": True}
-    model_r = get_model(cfg)
-    assert model_r.remat is True
-    state_r, tx_r = init_state(model_r, cfg, mi, jax.random.PRNGKey(0))
-    step_r = make_train_step(model_r, loss_mod, tx_r, donate=False)
-    _, l_r, _ = step_r(state_r, mi, mi, gt, gt, key)
-    assert np.isclose(float(l_r), results[False][0], rtol=1e-6)
+    # block-level remat granularities (encoder/sweep/base3d/decoder
+    # checkpointed inside the model — tpu.remat / auto at batch >= 4);
+    # every granularity must compute the SAME loss as the plain step
+    for mode in (True, "hot", "save3d"):
+        cfg["tpu"] = {"mesh": "auto", "dtype": "float32", "donate": False,
+                      "remat": mode}
+        model_r = get_model(cfg)
+        assert model_r.remat == mode
+        state_r, tx_r = init_state(model_r, cfg, mi, jax.random.PRNGKey(0))
+        step_r = make_train_step(model_r, loss_mod, tx_r, donate=False)
+        _, l_r, _ = step_r(state_r, mi, mi, gt, gt, key)
+        assert np.isclose(float(l_r), results[False][0], rtol=1e-6), mode
