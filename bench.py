@@ -25,7 +25,7 @@ ITERS = 20
 WARMUP = 3
 
 
-def bench_jax() -> float:
+def bench_jax(batch: int = BATCH) -> float:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from depthestimation_tpu.utils.compile_cache import enable as _cc
     _cc()
@@ -40,7 +40,7 @@ def bench_jax() -> float:
     cfg = _cfg()
     cfg["tpu"] = {"dtype": "bfloat16"}
     model = get_model(cfg)
-    mi, _ = _sample_input(cfg, batch=BATCH)
+    mi, _ = _sample_input(cfg, batch=batch)
     mi = dict(mi)
     mi["prev_output"] = None
     mi["prev_lc"] = None
@@ -73,7 +73,7 @@ def bench_jax() -> float:
         m = jstep(m)
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / ITERS
-    return BATCH / dt
+    return batch / dt
 
 
 def bench_torch_cpu() -> float:
@@ -151,6 +151,11 @@ def main():
     # flush the forward-only record first so an external timeout during the
     # (compile-heavy) training bench can never lose the whole measurement
     print(json.dumps(line), flush=True)
+    try:  # deployment-style throughput: batched forward (B=8), not latency
+        line["forward_fps_b8"] = round(bench_jax(batch=8), 3)
+        print(json.dumps(line), flush=True)
+    except Exception as e:
+        print(f"batched forward bench failed: {e}", file=sys.stderr)
     if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
         line.update(bench_train())
         print(json.dumps(line), flush=True)

@@ -56,8 +56,10 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
     from depthestimation_tpu.trainer.default import _soft_labels
 
     cfg = _cfg(batch=batch, nmode="exp7")
-    if dtype:
-        cfg["tpu"]["dtype"] = dtype
+    # production TPU training config: bf16 conv compute (params/optimizer
+    # f32; convergence + parity pinned in tests), remat auto -> save3d at
+    # batch >= 4. Override with --dtype float32 / --remat for ablations.
+    cfg["tpu"]["dtype"] = dtype or "bfloat16"
     if remat:
         cfg["tpu"]["remat"] = remat
     model = get_model(cfg)

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Op-level profile of the jitted train step via the JAX profiler.
+
+Captures a device trace of a few train-step iterations, then parses the
+xplane protobuf with tensorboard_plugin_profile into a per-HLO-op self-time
+table, aggregated by source (framework op name), so step time can be
+attributed to conv / BN / gather / copy instead of guessed at from
+cost-analysis FLOPs.
+
+Run:  python benchmarks/trace_profile.py [--batch 8] [--iters 3]
+      [--dtype bfloat16] [--remat auto]
+Writes the raw trace under /tmp/jax_trace_bN and prints the top-k table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(batch: int, iters: int, dtype: str, remat: str, logdir: str):
+    from depthestimation_tpu.utils.compile_cache import enable as _cc
+    _cc()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _cfg, _sample_input
+    from depthestimation_tpu.losses import get_loss
+    from depthestimation_tpu.models import get_model
+    from depthestimation_tpu.ops.dpv import powerf
+    from depthestimation_tpu.parallel.train_step import (init_state,
+                                                         make_train_step)
+    from depthestimation_tpu.trainer.default import _soft_labels
+
+    cfg = _cfg(batch=batch, nmode="exp7")
+    cfg["tpu"]["dtype"] = dtype
+    if remat and remat != "auto":
+        cfg["tpu"]["remat"] = remat
+    model = get_model(cfg)
+    loss = get_loss(cfg)
+    mi, gt = _sample_input(cfg, batch=batch)
+    state, tx = init_state(model, cfg, mi, jax.random.PRNGKey(0))
+    step = make_train_step(model, loss, tx, donate=True)
+    mi = {k: v for k, v in mi.items() if k not in ("prev_output", "prev_lc")}
+    mi["prev_output"] = None
+    mi["prev_lc"] = None
+    gt = dict(gt)
+    d_candi = jnp.asarray(np.asarray(
+        powerf(cfg.var.d_min, cfg.var.d_max, cfg.var.ndepth,
+               cfg.var.qpower)), jnp.float32)
+    gt["soft_labels"] = _soft_labels(gt["dmaps"], gt["masks"], d_candi,
+                                     jnp.float32(0.3), cfg.var.ndepth)
+    gt["soft_labels_imgsize"] = _soft_labels(
+        gt["dmap_imgsizes"], gt["masks_imgsizes"], d_candi,
+        jnp.float32(0.3), cfg.var.ndepth)
+
+    key = jax.random.PRNGKey(1)
+    state, l, _ = step(state, mi, mi, gt, gt, key)   # compile
+    l.block_until_ready()
+    state, l, _ = step(state, mi, mi, gt, gt, jax.random.fold_in(key, 1))
+    l.block_until_ready()
+
+    jax.profiler.start_trace(logdir)
+    for i in range(iters):
+        state, l, _ = step(state, mi, mi, gt, gt,
+                           jax.random.fold_in(key, 100 + i))
+    l.block_until_ready()
+    jax.profiler.stop_trace()
+
+
+def op_table(logdir: str, top: int = 25):
+    """Parse the captured xplane into (op category/name, self time) rows."""
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
+    return data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat", default="auto")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip capture; parse an existing --logdir")
+    args = ap.parse_args()
+
+    logdir = args.logdir or f"/tmp/jax_trace_b{args.batch}"
+    if not args.parse_only:
+        os.makedirs(logdir, exist_ok=True)
+        capture(args.batch, args.iters, args.dtype, args.remat, logdir)
+        print(f"trace captured under {logdir}")
+
+    data = op_table(logdir)
+    out = os.path.join(logdir, "op_stats.json")
+    with open(out, "w") as f:
+        f.write(data if isinstance(data, str) else json.dumps(data))
+    print(f"op stats written to {out}")
+    try:
+        rows = json.loads(data) if isinstance(data, str) else data
+        # gviz DataTable: {cols: [...], rows: [{c: [{v: ...}, ...]}]}
+        table = rows[1] if isinstance(rows, list) and len(rows) > 1 else rows
+        cols = [c.get("label") or c.get("id") for c in table["cols"]]
+        print("\t".join(cols))
+        for r in table["rows"][: args.top]:
+            print("\t".join(str(c.get("v") if isinstance(c, dict) else c)
+                            for c in r["c"]))
+    except Exception as e:  # format drift: raw JSON is already on disk
+        print(f"(pretty-print failed: {e}; inspect {out})")
+
+
+if __name__ == "__main__":
+    main()

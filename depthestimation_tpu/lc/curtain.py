@@ -103,7 +103,8 @@ class LightCurtain:
         }
         laser_large = {"lTc": PARAMS["lTc"], "fov": PARAMS["laser_fov"],
                        "laser_timestep": PARAMS["laser_timestep"]}
-        for k in ("beam_width", "beam_divergence", "max_omega", "sin_clip"):
+        for k in ("beam_width", "beam_divergence", "max_omega", "sin_clip",
+                  "i_sigma_frac"):
             if k in PARAMS:
                 laser_large[k] = PARAMS[k]
         laser_small = dict(laser_large, laser_timestep=PARAMS["laser_timestep"] * 4)

@@ -13,7 +13,13 @@ camera column. Imaging a scene with true depth z_gt(r, c):
   * the sheet has finite thickness t(c) set by the laser beam width and the
     triangulation angle between the camera ray and the laser ray;
   * the received intensity falls off as a Gaussian in the depth error:
-        I(r, c) = 255 * exp(-((z_gt - z_cur) / (t/2))^2)  (+ hit noise).
+        I(r, c) = 255 * exp(-((z_gt - z_cur) / (t/4))^2)  (+ hit noise).
+    t is the FULL overlap width of the laser sheet with the camera-pixel
+    frustum, so a Gaussian fit to the intensity profile has sigma ~ t/4
+    (zero at the +/- t/2 edges), not t/2 — using t/2 made off-curtain
+    surfaces return dim-but-nonzero light over a ~2 sigma-thick shell,
+    which feeds the planner false positive evidence (A > 0 in
+    img_utils.mapping) for curtains metres from the surface.
 
 ``get_return`` mirrors the reference contract: returns
 ``output[H, W, 4] = (x, y, z, intensity)`` of the curtain point seen by each
@@ -70,6 +76,9 @@ class LCDevice:
         self.beam_divergence = float(LASER_PARAMS.get("beam_divergence", 1.2e-3))
         # floor on the triangulation angle (caps thickness growth at range)
         self.sin_clip = float(LASER_PARAMS.get("sin_clip", 0.02))
+        # intensity-falloff sigma as a fraction of curtain thickness; t is a
+        # full width, so a Gaussian fit has sigma ~ t/4 (see module docstring)
+        self.i_sigma_frac = float(LASER_PARAMS.get("i_sigma_frac", 0.25))
 
         self.thetas = camera_angles(self.intr, self.width)   # [W] degrees
         self._theta_rad = jnp.asarray(np.radians(self.thetas), jnp.float32)
@@ -134,7 +143,7 @@ class LCDevice:
         zc = self.curtain_profile(jnp.asarray(design_pts, jnp.float32))  # [W]
         thick = self.curtain_thickness(jnp.asarray(design_pts, jnp.float32))
 
-        sigma = jnp.clip(thick * 0.5, 1e-6, None)                # [W]
+        sigma = jnp.clip(thick * self.i_sigma_frac, 1e-6, None)  # [W]
         derr = depth_image - zc[None, :]
         inten = 255.0 * jnp.exp(-((derr / sigma[None, :]) ** 2))
         inten = jnp.where(depth_image > 0, inten, 0.0)

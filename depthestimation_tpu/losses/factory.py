@@ -14,4 +14,7 @@ def get_loss(cfg, id: int = 0):
     if name == "sweep":
         from depthestimation_tpu.losses.sweep_loss import SweepLoss
         return SweepLoss(cfg, id)
+    if name == "unflow":
+        from depthestimation_tpu.losses.flow_loss import UnFlowLoss
+        return UnFlowLoss(cfg, id)
     raise ValueError(f"unknown loss {name!r}")

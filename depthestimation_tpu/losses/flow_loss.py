@@ -53,10 +53,17 @@ class UnFlowLoss:
         return (jnp.mean(jnp.abs(gx(flow)) * wx)
                 + jnp.mean(jnp.abs(gy(flow)) * wy))
 
-    def __call__(self, output: dict, target):
-        """output: PWCLite dict; target: [B, 6, H, W] image pair."""
+    def __call__(self, output: dict, target, return_terms: bool = False):
+        """output: PWCLite dict; target: [B, 6, H, W] image pair.
+
+        With ``return_terms`` also returns the per-term breakdown the
+        reference's sintel trainers log — (l_ph, l_sm, flow_mean) — plus
+        the finest-scale non-occlusion mask its AR trainer feeds to the
+        spatial-transform self-supervision (sintel_trainer.py:56,
+        sintel_trainer_ar.py:58)."""
         img1, img2 = target[:, :3], target[:, 3:]
-        total = 0.0
+        total = l_ph = l_sm = 0.0
+        noc_finest = None
         weights = [1.0, 1.0, 1.0, 1.0, 0.32]
         flows_fw = output["flows_fw"]
         flows_bw = output.get("flows_bw", [None] * len(flows_fw))
@@ -66,8 +73,17 @@ class UnFlowLoss:
             i2 = jax.image.resize(img2, img2.shape[:2] + (h, w), "linear")
             mask = (occlusion_mask_bidirection(ffw, fbw)
                     if fbw is not None else jnp.ones_like(ffw[:, :1]))
+            if noc_finest is None:
+                noc_finest = mask
             warped = flow_warp(i2, ffw)
-            total = total + weights[min(i, 4)] * (
-                self.photometric(i1, warped, mask)
-                + self.w_smooth / (2**i) * self.smooth(ffw, i1))
+            ph = weights[min(i, 4)] * self.photometric(i1, warped, mask)
+            sm = (weights[min(i, 4)] * self.w_smooth / (2**i)
+                  * self.smooth(ffw, i1))
+            l_ph, l_sm = l_ph + ph, l_sm + sm
+            total = total + ph + sm
+        if return_terms:
+            terms = {"l_ph": l_ph, "l_sm": l_sm,
+                     "flow_mean": jnp.mean(jnp.abs(flows_fw[0])),
+                     "noc_mask": noc_finest}
+            return total, terms
         return total

@@ -95,6 +95,12 @@ class BaseModelNet(nn.Module):
         if self.nmode in ("exp3", "exp4", "exp6", "exp7", "exp7_lc", "lc"):
             self.based_3d = b3d_cls(feature_dim=32, dres_count=2,
                                     bn_avg=self.bn_avg, dtype=self.dtype)
+        if self.nmode == "exp8":
+            # Structural parity with the reference's exp8 (models.py:477-478):
+            # it allocates a second decoder but has NO forward branch —
+            # forward raises "Nmode wrong" (models.py:835); __call__ below
+            # reproduces that contract with a clearer message.
+            self.base_decoder2 = dec_cls(self.d, dtype=self.dtype)
 
     # -- shared encoder path --------------------------------------------
 
@@ -273,6 +279,12 @@ class BaseModelNet(nn.Module):
                     "output_refined": [_nchw(refined)],
                     "flow": None, "flow_refined": None}
 
+        if nmode == "exp8":
+            # the reference allocates exp8's extra decoder but provides no
+            # forward branch: forward raises "Nmode wrong" (models.py:835)
+            raise ValueError(
+                "nmode 'exp8' has no forward pass (parity with the "
+                "reference, models.py:477-478 + :835)")
         raise ValueError(f"unknown nmode {nmode!r}")
 
     def _drop_prev_lc(self, prev_lc: Optional[Any], shape, train: bool):

@@ -107,11 +107,12 @@ class PWCLite(nn.Module):
                                   jnp.moveaxis(b, -1, 1), self.search_range)
         return nn.leaky_relu(jnp.moveaxis(out, 1, -1), 0.1)
 
-    def _upflow2(self, flow):
-        """x2 upsample (+scale) of channel-last flow [B, h, w, 2]."""
+    def _upflow2(self, flow, hw):
+        """x2 upsample (+scale) of channel-last flow [B, h, w, 2] to the
+        next level's exact (h, w) — equals scale_factor=2 for even sizes
+        and stays shape-correct when a coarse level was an odd ceil-div."""
         nchw = jnp.moveaxis(flow * 2.0, -1, 1)
-        up = resize_bilinear_align_corners(nchw, (flow.shape[1] * 2,
-                                                  flow.shape[2] * 2))
+        up = resize_bilinear_align_corners(nchw, hw)
         return jnp.moveaxis(up, 1, -1)
 
     def _two_frames(self, p1, p2):
@@ -119,7 +120,7 @@ class PWCLite(nn.Module):
         flow = jnp.zeros(p1[0].shape[:3] + (2,), p1[0].dtype)
         for lvl, (x1, x2) in enumerate(zip(p1, p2)):
             if lvl > 0:
-                flow = self._upflow2(flow)
+                flow = self._upflow2(flow, x1.shape[1:3])
                 x2 = jnp.moveaxis(flow_warp(jnp.moveaxis(x2, -1, 1),
                                             jnp.moveaxis(flow, -1, 1)), 1, -1)
             corr = self._corr(x1, x2)

@@ -12,4 +12,13 @@ def get_trainer(cfg):
     if name == "sweep":
         from depthestimation_tpu.trainer.sweep import SweepTrainer
         return SweepTrainer
+    if name == "sintel":
+        # the reference keeps these OUT of get_trainer (dead code,
+        # trainer/sintel_trainer.py); wired here so flow training is
+        # reachable from the CLI
+        from depthestimation_tpu.trainer.sintel import SintelTrainer
+        return SintelTrainer
+    if name == "sintel_ar":
+        from depthestimation_tpu.trainer.sintel import SintelARTrainer
+        return SintelARTrainer
     raise ValueError(f"unknown trainer {name!r}")

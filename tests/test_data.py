@@ -389,12 +389,15 @@ def test_all_configs_parse():
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
     files = sorted(glob.glob(os.path.join(root, "*.json")))
     assert len(files) >= 22
-    nmodes = {"default", "exp2", "exp3", "exp7", "exp7_lc", "lc"}
+    # exp8 is allocate-only in the reference (forward raises, models.py:835)
+    # but its config name must parse; flow configs (pwclite) have no nmode
+    nmodes = {"default", "exp2", "exp3", "exp7", "exp7_lc", "lc", "exp8"}
     for f in files:
         cfg = config_from_dict(_json.load(open(f)))
         assert cfg.data.model_name in ("base", "sweep", "packnet", "default",
                                        "pwclite")
-        assert cfg.var.nmode in nmodes, f
+        if cfg.data.model_name == "base":
+            assert cfg.var.nmode in nmodes, f
         assert cfg.train.batch_size >= 1
 
 
