@@ -194,6 +194,7 @@ class BatchNorm(nn.Module):
             ra_var = self.variable("batch_stats", "var",
                                    lambda: jnp.ones((c,), jnp.float32))
 
+        in_dtype = x.dtype
         x = x.astype(jnp.float32)  # BN statistics always in f32
         if train or not self.track_running_stats:
             mean = jnp.mean(x, axis=axes)
@@ -211,7 +212,10 @@ class BatchNorm(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
             y = y * scale + bias
-        return y
+        # statistics/normalization in f32, but hand back the caller's compute
+        # dtype: returning f32 under bf16 mixed precision reinflates every
+        # conv->BN boundary to f32 HBM traffic (the next conv just casts back)
+        return y.astype(in_dtype)
 
 
 class ConvBN(nn.Module):
