@@ -195,10 +195,16 @@ class BatchNorm(nn.Module):
                                    lambda: jnp.ones((c,), jnp.float32))
 
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)  # BN statistics always in f32
+        # Statistics in f32 via ONE pass (mean + mean-of-squares, flax's own
+        # formulation): the f32 converts fuse into the two reductions, so no
+        # f32 copy of the activation is ever materialized (the centered
+        # two-pass form cost ~32 ms/step of convert-copies at B=8). Safe here
+        # — post-conv activations are O(10), far from f32 cancellation; the
+        # max(., 0) guards the residual rounding case.
         if train or not self.track_running_stats:
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if self.track_running_stats and train and not self.is_initializing():
                 n = float(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1.0, 1.0))

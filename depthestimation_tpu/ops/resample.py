@@ -61,12 +61,12 @@ def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
     wp = w + 2
     flat = jnp.pad(img, ((0, 0), (1, 1), (1, 1))).reshape(c, (h + 2) * wp)
 
-    def tap(ix, iy, weight):
+    def tap_idx_wt(ix, iy, weight):
         valid = (ix >= -1) & (ix <= w) & (iy >= -1) & (iy <= h)
         ixc = jnp.clip(ix + 1, 0, wp - 1).astype(jnp.int32)
         iyc = jnp.clip(iy + 1, 0, h + 1).astype(jnp.int32)
         wt = jnp.where(valid, weight, 0.0).astype(img.dtype)
-        return fast_take(flat, iyc * wp + ixc) * wt[None]
+        return iyc * wp + ixc, wt
 
     if mode == "nearest":
         ix = jnp.floor(x + 0.5)
@@ -74,16 +74,25 @@ def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
         # exact-pixel "weight" 1, but outside-image must still read as zero —
         # the padded ring only covers 1 px, so keep the validity fold
         valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        out = tap(ix, iy, valid.astype(img.dtype))
+        idx, wt = tap_idx_wt(ix, iy, valid.astype(img.dtype))
+        out = fast_take(flat, idx) * wt[None]
     elif mode == "bilinear":
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = (x - x0).astype(img.dtype)
         fy = (y - y0).astype(img.dtype)
-        out = (tap(x0, y0, (1 - fx) * (1 - fy))
-               + tap(x0 + 1, y0, fx * (1 - fy))
-               + tap(x0, y0 + 1, (1 - fx) * fy)
-               + tap(x0 + 1, y0 + 1, fx * fy))
+        # ONE gather over the 4 taps' concatenated indices, then a weighted
+        # reduce: 4 separate per-tap gathers dispatch as 4 latency-bound
+        # custom fusions and measure ~25x slower at full-res loss-warp
+        # shapes (benchmarks/micro_gather.py — taps4 vs cat4)
+        taps = [tap_idx_wt(x0, y0, (1 - fx) * (1 - fy)),
+                tap_idx_wt(x0 + 1, y0, fx * (1 - fy)),
+                tap_idx_wt(x0, y0 + 1, (1 - fx) * fy),
+                tap_idx_wt(x0 + 1, y0 + 1, fx * fy)]
+        n = taps[0][0].shape[0]
+        t = fast_take(flat, jnp.concatenate([i for i, _ in taps]))
+        wts = jnp.stack([wt for _, wt in taps])  # [4, N]
+        out = jnp.sum(t.reshape(c, 4, n) * wts[None], axis=1)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
