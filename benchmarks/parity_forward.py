@@ -294,8 +294,12 @@ def main():
     report["depth_rmse_vs_gt_torch_m"] = rt
     report["depth_rmse_rel_diff_pct"] = 100.0 * abs(rj - rt) / max(rt, 1e-9)
 
+    # full-size runs get their own artifact so a later small-dims run can't
+    # clobber the committed 384x256/D=64 evidence (VERDICT r2 weak #3)
+    out_name = "parity_forward_full.json" if args.full else \
+        "parity_forward.json"
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "parity_forward.json")
+                            out_name)
     json.dump(report, open(out_path, "w"), indent=1)
     for k, v in report.items():
         print(f"{k}: {v:.6g}" if isinstance(v, float) else f"{k}: {v}")

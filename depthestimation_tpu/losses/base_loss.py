@@ -28,6 +28,12 @@ class BaseLoss:
         out_l, out_r = outputs
         gt_l, gt_r = targets
         c = self.cfg.loss
+        # stereo-warp implementation: 'hwarp' (default) = rectified-rig
+        # block-banded MXU matmul (ops/resample.py:hwarp — the reference's
+        # rigs are all rectified; identical outputs for pure-x baselines);
+        # 'gather' = general grid_sample, bit-parity with the torch oracle
+        # (losses/loss_blocks.py:133-190) — used by the parity harnesses.
+        warp_impl = c.get("warp_impl", "hwarp")
         d_candi = jnp.asarray(gt_l["d_candi"], jnp.float32)
         t_l2r = jnp.asarray(gt_l["T_left2right"], jnp.float32)
 
@@ -66,9 +72,11 @@ class BaseLoss:
         dsc_loss = 0.0
         if c.dsc_mul:
             def dsc(src_d, tgt_d, src_m, pose, intr):
-                return jax.vmap(blocks.depth_stereo_consistency_loss,
-                                in_axes=(0, 0, 0, None, 0))(
-                    src_d, tgt_d, src_m, pose, intr)
+                return jax.vmap(
+                    lambda *a: blocks.depth_stereo_consistency_loss(
+                        *a, warp_impl=warp_impl),
+                    in_axes=(0, 0, 0, None, 0))(src_d, tgt_d, src_m, pose,
+                                                intr)
 
             intr_up_l = gt_l["intrinsics_up"]
             intr_l = gt_l["intrinsics"]
@@ -84,8 +92,10 @@ class BaseLoss:
         # ---- RGB stereo consistency --------------------------------------
         rsc_loss = 0.0
         if c.rsc_mul:
-            rsc = jax.vmap(blocks.rgb_stereo_consistency_loss,
-                           in_axes=(0, 0, 0, None, 0))
+            rsc = jax.vmap(
+                lambda *a: blocks.rgb_stereo_consistency_loss(
+                    *a, warp_impl=warp_impl),
+                in_axes=(0, 0, 0, None, 0))
             rgb_l = gt_l["rgb"][:, -1]
             rgb_r = gt_r["rgb"][:, -1]
             terms = (rsc(rgb_r, rgb_l, large_l, pose_t2s, gt_l["intrinsics_up"])
@@ -94,8 +104,10 @@ class BaseLoss:
 
         rsc_low_loss = 0.0
         if c.rsc_low_mul:
-            rsc = jax.vmap(blocks.rgb_stereo_consistency_loss,
-                           in_axes=(0, 0, 0, None, 0))
+            rsc = jax.vmap(
+                lambda *a: blocks.rgb_stereo_consistency_loss(
+                    *a, warp_impl=warp_impl),
+                in_axes=(0, 0, 0, None, 0))
             h4, w4 = small_l.shape[-2:]
             rgb_l = resize_bilinear_align_corners(gt_l["rgb"][:, -1], (h4, w4))
             rgb_r = resize_bilinear_align_corners(gt_r["rgb"][:, -1], (h4, w4))

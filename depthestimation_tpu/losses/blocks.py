@@ -42,10 +42,11 @@ def _tophalf_mask(h, w, frac: int = 3):
 
 
 def rgb_stereo_consistency_loss(src_rgb, target_rgb, target_depth,
-                                pose_target2src, intr):
+                                pose_target2src, intr, warp_impl="gather"):
     """Photometric L1 between target and the source warped by target depth
     (loss_blocks.py:133-149). src_rgb/target_rgb: [3, H, W]."""
-    warped, valid = inverse_warp(src_rgb, target_depth, pose_target2src, intr)
+    warped, valid = inverse_warp(src_rgb, target_depth, pose_target2src, intr,
+                                 impl=warp_impl)
     h, w = target_depth.shape
     full = (valid & _tophalf_mask(h, w)).astype(src_rgb.dtype)[None]
     diff = jnp.abs(target_rgb * full - warped * full)
@@ -53,13 +54,13 @@ def rgb_stereo_consistency_loss(src_rgb, target_rgb, target_depth,
 
 
 def depth_stereo_consistency_loss(src_depth, target_depth, src_mask,
-                                  pose_target2src, intr):
+                                  pose_target2src, intr, warp_impl="gather"):
     """Warp source depth into the target view and compare relative depth
     (loss_blocks.py:166-190). depths: [H, W], src_mask: [1, H, W]."""
     src_trans = transform_dmap(src_depth, jnp.linalg.inv(pose_target2src), intr)
     src_trans = (src_trans * src_mask[0])[None]      # [1, H, W]
     warped, valid = inverse_warp(src_trans, target_depth, pose_target2src,
-                                 intr, mode="nearest")
+                                 intr, mode="nearest", impl=warp_impl)
     warped = warped[0]
     h, w = target_depth.shape
     full = (valid & _tophalf_mask(h, w) & (warped > 0)).astype(src_depth.dtype)

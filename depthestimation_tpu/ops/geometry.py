@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from depthestimation_tpu.ops.resample import grid_sample
+from depthestimation_tpu.ops.resample import (grid_sample, hwarp,
+                                              static_row_resample)
 
 # Geometry matmuls feed pixel coordinates: bf16 MXU precision (the TPU
 # default) visibly corrupts warps, so they are pinned to float32.
@@ -128,15 +129,30 @@ def cam2pixel(cam_coords, rot, tr):
     return jnp.stack([xn, yn], axis=-1).reshape((h, w, 2))
 
 
-def inverse_warp(img, depth, pose, intr, mode: str = "bilinear"):
+def inverse_warp(img, depth, pose, intr, mode: str = "bilinear",
+                 impl: str = "gather"):
     """Warp ``img`` (source) into the target frame given target ``depth``.
 
     img: [C, H, W]; depth: [H, W]; pose: [4, 4] target->source; intr: [3, 3].
     Returns (warped [C, H, W], valid [H, W] bool).
+
+    impl: 'gather' — general 2-D grid_sample (bit-parity with the torch
+    oracle, any pose); 'hwarp' — rectified-rig fast path (y' == y) as a
+    block-banded MXU matmul, ~17x faster at B=8 loss-warp shapes
+    (ops/resample.py:hwarp). Identical outputs when the pose is pure-x
+    translation (the synthetic rig exactly; KITTI rectified to calibration
+    noise); out-of-band pixels (|disparity| > W//6) are folded into
+    ``valid`` instead of sampled.
     """
     cam = pixel2cam(depth, jnp.linalg.inv(intr))
     proj = _mm(intr, pose[:3, :])
     grid = cam2pixel(cam, proj[:, :3], proj[:, 3:])
+    if impl == "hwarp":
+        img_v = static_row_resample(img, mode=mode, align_corners=False)
+        warped, in_band = hwarp(img_v, grid[..., 0], mode=mode,
+                                align_corners=False)
+        valid = (jnp.max(jnp.abs(grid), axis=-1) <= 1.0) & in_band
+        return warped, valid
     warped = grid_sample(img, grid, mode=mode, align_corners=False)
     valid = jnp.max(jnp.abs(grid), axis=-1) <= 1.0
     return warped, valid

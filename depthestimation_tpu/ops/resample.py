@@ -99,6 +99,108 @@ def grid_sample(img, grid, mode: str = "bilinear", align_corners: bool = False):
     return out.reshape((c,) + out_shape)
 
 
+def hwarp(img, xn, mode: str = "bilinear", band: int | None = None,
+          align_corners: bool = False):
+    """Horizontal-only warp as a block-banded one-hot MATMUL (MXU).
+
+    For a rectified stereo rig the inverse-warp grid has y' == y (the
+    synthetic rig's T_left2right is exactly pure-x translation; KITTI
+    rectified is within calibration noise), so the warp is a per-row linear
+    map. XLA's gather runs this at ~15 ns/index (latency-bound — the train
+    step's #1 op at 62 ms/B=8); as a [BLK, BLK+2*band] block-banded matmul
+    it runs in ~3.6 ms (benchmarks/micro_hwarp.py) and its transpose
+    (the backward) is a matmul too.
+
+    Args:
+      img:  [C, H, W] source.
+      xn:   [H, W] normalized source x in [-1, 1] (same convention as the
+            ``grid_sample`` grid x-channel).
+      mode: 'bilinear' or 'nearest'.
+      band: max |x_src - x_out| in pixels (default W//6, ≥ the max stereo
+            disparity at KITTI scale: fx*baseline/d_min ≈ W/9.6). Pixels
+            displaced beyond the band read as zero — fold the returned
+            ``in_band`` mask into validity.
+
+    Returns (warped [C, H, W], in_band [H, W] bool). Bit-matches
+    ``grid_sample(img, grid)`` where grid y is the identity row coordinate
+    (pinned in tests/test_hwarp.py).
+    """
+    c, h, w = img.shape
+    if band is None:
+        band = max(16, w // 6)
+    blk = min(128, w)
+    if w % blk:  # fall back: any W — pad the row axis up to a block multiple
+        wpad = (w + blk - 1) // blk * blk
+        img2 = jnp.pad(img, ((0, 0), (0, 0), (0, wpad - w)))
+        xn2 = jnp.pad(xn, ((0, 0), (0, wpad - w)), constant_values=-2.0)
+        out, inb = hwarp(img2, xn2, mode=mode, band=band,
+                         align_corners=align_corners)
+        return out[..., :w], inb[..., :w]
+    nb = w // blk
+
+    x = _unnormalize(xn, w, align_corners)                   # pixel coords
+    xg = jnp.arange(w, dtype=x.dtype)[None, :]
+    in_band = jnp.abs(x - xg) <= (band - 1)
+
+    # overlapping input blocks: output block j reads [j*blk-band, j*blk+blk+band)
+    pad = jnp.pad(img, ((0, 0), (0, 0), (band, band)))
+    blocks = jnp.stack([pad[..., j * blk:j * blk + blk + 2 * band]
+                        for j in range(nb)], axis=2)         # [C,H,NB,BLK+2K]
+    src = jnp.arange(blk + 2 * band, dtype=jnp.int32)
+    base = (jnp.arange(nb, dtype=jnp.int32) * blk)[None, :, None]
+
+    xb = x.reshape(h, nb, blk)
+    if mode == "nearest":
+        # grid_sample nearest: floor(x + 0.5); outside-image reads zero via
+        # the zero padding (any tap further than `band` outside is masked by
+        # in_band, and grid_sample's valid fold zeroes it anyway)
+        loc = jnp.floor(xb + 0.5).astype(jnp.int32) - base + band
+        loc = jnp.clip(loc, -1, blk + 2 * band)              # keep one-hot sane
+        m = (src == loc[..., None]).astype(img.dtype)
+    elif mode == "bilinear":
+        x0 = jnp.floor(xb)
+        fx = (xb - x0).astype(img.dtype)
+        loc = jnp.clip(x0.astype(jnp.int32) - base + band, -2, blk + 2 * band)
+        m = ((src == loc[..., None]) * (1.0 - fx)[..., None]
+             + (src == (loc + 1)[..., None]) * fx[..., None]).astype(img.dtype)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # m: [H, NB, BLK, BLK+2K]; blocks: [C, H, NB, BLK+2K] -> [C, H, NB, BLK]
+    out = jnp.einsum("hjxs,chjs->chjx", m, blocks,
+                     precision=jax.lax.Precision.HIGHEST)
+    # out-of-band pixels can still alias into a neighbouring block's window;
+    # zero them so the contract is "beyond the band reads zero"
+    out = out.reshape(c, h, w) * in_band[None].astype(img.dtype)
+    return out, in_band
+
+
+def static_row_resample(img, mode: str = "bilinear",
+                        align_corners: bool = False):
+    """Resample rows at y_eff = _unnormalize(yn_identity, H, align_corners).
+
+    ``inverse_warp`` builds its grid in the align_corners=True convention
+    but samples with align_corners=False (reference quirk,
+    utils/inverse_warp.py:65-66 + torch grid_sample default) — so even a
+    pure-x stereo pose blends adjacent rows with FIXED per-row weights
+    (y_eff = y*H/(H-1) - 0.5). Bilinear/nearest sampling is separable, so
+    the hwarp fast path applies this static vertical blend first; row
+    indices are static, making this a cheap contiguous take along H.
+    img: [C, H, W]."""
+    h = img.shape[-2]
+    yn = 2.0 * jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) - 1.0
+    y = _unnormalize(yn, h, align_corners)
+    pad = jnp.pad(img, ((0, 0), (1, 1), (0, 0)))       # zero ring, 1 row
+    if mode == "nearest":
+        y0 = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32) + 1, 0, h + 1)
+        return jnp.take(pad, y0, axis=-2)
+    y0 = jnp.floor(y)
+    fy = (y - y0).astype(img.dtype)[:, None]
+    i0 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h + 1)
+    return (jnp.take(pad, i0, axis=-2) * (1.0 - fy)
+            + jnp.take(pad, jnp.clip(i0 + 1, 0, h + 1), axis=-2) * fy)
+
+
 def grid_sample_pixel(img, pix, mode: str = "bilinear"):
     """Sample at raw PIXEL coordinates (x, y) with zero padding — no
     normalized-coordinate round trip. img: [C, H, W]; pix: [..., 2]."""
