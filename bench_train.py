@@ -153,7 +153,17 @@ def main():
     if not args.no_save:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "bench_train.json")
-        json.dump(results, open(out, "w"), indent=1)
+        # merge by batch so partial runs refresh rows instead of dropping
+        # the batches not measured this invocation
+        merged = {}
+        if os.path.exists(out):
+            try:
+                merged = {r["batch"]: r for r in json.load(open(out))}
+            except Exception:
+                merged = {}
+        merged.update({r["batch"]: r for r in results})
+        json.dump([merged[b] for b in sorted(merged)], open(out, "w"),
+                  indent=1)
     if len(results) >= 2:
         scaling = results[-1]["frames_per_sec"] / results[0]["frames_per_sec"]
         print(json.dumps({"metric": "train_batch_scaling"

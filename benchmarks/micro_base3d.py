@@ -1,0 +1,211 @@
+#!/usr/bin/env python3
+"""Micro-benchmarks for the Base3D hot path at B=8 production shapes.
+
+Per trace_profile.py the B=8 train step spends (per step):
+  ~106 ms  Base3D backward convs   (6x 15.9 + 10.2; 423 GB/s, HBM-bound)
+  ~37 ms   Base3D forward convs    (578 GB/s)
+  ~32 ms   BatchNorm f32 converts  (7x 4.6 ms — stats upcast materializes)
+  ~40 ms   BatchNorm bwd reduce_sums
+  ~23 ms   relu max + residual add
+
+Questions measured here:
+  conv    — fwd/bwd cost of one [B*D, H, W, 64] 3x3 bf16 conv (the Conv3d
+            building block); same at C=128 to expose lane-padding effects
+  conv3d  — native lax conv with (3,3,3) window vs sum of 3 shifted 2D convs
+  bnstat  — sum/sumsq over all-but-C: convert+reduce (current) vs MXU
+            ones-dot (f32 accumulation) vs Pallas one-pass kernel
+  ew      — relu on the full activation (pure-BW reference)
+
+Run: python benchmarks/micro_base3d.py
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, D, H, W, C = 8, 64, 64, 96, 64
+N = B * D
+
+
+def timeit(fn, *args, iters=20):
+    """Time fn(*args) with each iteration chained through arg0 by a tiny
+    NONZERO feedback term (the remote TPU runtime dedupes identical
+    dispatches; a *0.0 chain leaves the input value unchanged and can be
+    deduped away). Loop stays pipelined: one block at the end."""
+
+    @jax.jit
+    def step(a0):
+        out = fn(a0, *args[1:])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        fb = (jnp.sum(leaf.astype(jnp.float32)) * 1e-12).astype(a0.dtype)
+        return a0 + fb
+
+    a = step(args[0])
+    jax.block_until_ready(a)
+    for _ in range(3):
+        a = step(a)
+    jax.block_until_ready(a)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a = step(a)
+    jax.block_until_ready(a)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_conv(c: int):
+    x = jnp.asarray(np.random.RandomState(0).randn(N, H, W, c),
+                    jnp.bfloat16)
+    k = jnp.asarray(np.random.RandomState(1).randn(3, 3, c, c) * 0.05,
+                    jnp.bfloat16)
+
+    @jax.jit
+    def fwd(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.jit
+    def fwdbwd(x, k):
+        def f(x, k):
+            return jnp.sum(fwd(x, k).astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1))(x, k)
+
+    print(f"conv2d C={c:4d}: fwd {timeit(fwd, x, k):7.2f} ms   "
+          f"fwd+bwd {timeit(fwdbwd, x, k):7.2f} ms")
+
+
+def bench_conv3d():
+    x = jnp.asarray(np.random.RandomState(0).randn(B, D, H, W, C),
+                    jnp.bfloat16)
+    k3 = jnp.asarray(np.random.RandomState(1).randn(3, 3, 3, C, C) * 0.05,
+                     jnp.bfloat16)
+
+    @jax.jit
+    def native(x, k3):
+        return jax.lax.conv_general_dilated(
+            x, k3, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    @jax.jit
+    def sum2d(x, k3):
+        xx = x.reshape(N, H, W, C)
+        out = None
+        for kd in range(3):
+            y = jax.lax.conv_general_dilated(
+                xx, k3[kd], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(B, D, H, W, C)
+            shift = kd - 1
+            if shift:
+                y = jnp.roll(y, -shift, axis=1)
+                mask = jnp.zeros((D,), jnp.bfloat16).at[
+                    max(0, -shift):D - max(0, shift)].set(1.0)
+                y = y * mask[None, :, None, None, None]
+            out = y if out is None else out + y
+        return out
+
+    @jax.jit
+    def native_bwd(x, k3):
+        def f(x, k3):
+            return jnp.sum(native(x, k3).astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1))(x, k3)
+
+    @jax.jit
+    def sum2d_bwd(x, k3):
+        def f(x, k3):
+            return jnp.sum(sum2d(x, k3).astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1))(x, k3)
+
+    a = np.asarray(native(x, k3), np.float32)
+    b = np.asarray(sum2d(x, k3), np.float32)
+    print(f"conv3d: native fwd {timeit(native, x, k3):7.2f} ms   "
+          f"sum2d fwd {timeit(sum2d, x, k3):7.2f} ms   "
+          f"maxdiff {np.abs(a - b).max():.2e}")
+    print(f"conv3d: native f+b {timeit(native_bwd, x, k3):7.2f} ms   "
+          f"sum2d f+b {timeit(sum2d_bwd, x, k3):7.2f} ms")
+
+
+def bench_bnstat():
+    x = jnp.asarray(np.random.RandomState(0).randn(B, D, H, W, C),
+                    jnp.bfloat16)
+    n = B * D * H * W
+
+    @jax.jit
+    def two_pass(x):
+        xf = x.astype(jnp.float32)
+        return jnp.mean(xf, axis=(0, 1, 2, 3)), \
+            jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
+
+    @jax.jit
+    def ones_dot(x):
+        xx = x.reshape(n, C)
+        ones = jnp.ones((n,), jnp.bfloat16)
+        s = jax.lax.dot_general(ones, xx, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        x2 = jnp.square(xx)      # bf16 squares — precision loss ~0.4%
+        s2 = jax.lax.dot_general(ones, x2, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return s / n, s2 / n
+
+    ROWS = 1024
+
+    def _bn_kernel(x_ref, sum_ref, sq_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            sum_ref[:] = jnp.zeros_like(sum_ref)
+            sq_ref[:] = jnp.zeros_like(sq_ref)
+        xf = x_ref[:].astype(jnp.float32)          # upcast in-register
+        sum_ref[:] += jnp.sum(xf, axis=0, keepdims=True)
+        sq_ref[:] += jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    @jax.jit
+    def pallas_pass(x):
+        xx = x.reshape(n, C)
+        s, s2 = pl.pallas_call(
+            _bn_kernel,
+            grid=(n // ROWS,),
+            in_specs=[pl.BlockSpec((ROWS, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((1, C), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, C), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((1, C), jnp.float32),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32)),
+        )(xx)
+        return s[0] / n, s2[0] / n
+
+    ref = jax.tree_util.tree_map(np.asarray, two_pass(x))
+    for name, fn in [("two_pass", two_pass), ("ones_dot", ones_dot),
+                     ("pallas", pallas_pass)]:
+        got = jax.tree_util.tree_map(np.asarray, fn(x))
+        err = max(np.abs(g - r).max() for g, r in zip(got, ref))
+        print(f"bnstat {name:9s} {timeit(fn, x):7.2f} ms  maxdiff {err:.2e}")
+
+
+def bench_ew():
+    x = jnp.asarray(np.random.RandomState(0).randn(B, D, H, W, C),
+                    jnp.bfloat16)
+
+    @jax.jit
+    def relu(x):
+        return jnp.maximum(x, 0)
+
+    print(f"elementwise relu on [B,D,H,W,C] bf16: {timeit(relu, x):7.2f} ms "
+          f"(2x{x.size * 2 / 1e9:.2f} GB logical)")
+
+
+if __name__ == "__main__":
+    bench_conv(64)
+    bench_conv(128)
+    bench_conv3d()
+    bench_bnstat()
+    bench_ew()

@@ -81,6 +81,10 @@ class BaseModelNet(nn.Module):
     def setup(self):
         enc_cls, dec_cls, b3d_cls = BaseEncoder, BaseDecoder, Base3D
         mode = self._remat_mode()
+        # NOTE: saving the named BN statistics across these remat boundaries
+        # (policy=save_only_these_names("bn_stats")) would skip ~40 ms/step
+        # of stat-reduce recompute at B=8, but XLA compile time exploded
+        # from ~1 min to >28 min on the full train step — not shippable.
         if mode in ("hot", "full"):
             b3d_cls = nn.remat(Base3D, static_argnums=(2, 3))
         if mode in ("full", "save3d"):

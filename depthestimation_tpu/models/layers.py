@@ -9,7 +9,10 @@ bilinear kernels for transposed convs) so hyper-parameters transfer 1:1.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Sequence
+
+from jax.ad_checkpoint import checkpoint_name
 
 import flax.linen as nn
 import jax
@@ -109,6 +112,14 @@ class Conv3d(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 kernel = kernel.astype(self.dtype)
+            # Measured-best form at B=8 production shapes (TPU v5e). The
+            # [B*D,...] reshape makes layout assignment flip each conv
+            # boundary between the conv's N-minor and the volume's W-minor
+            # layout (~80 ms/step of 100 MB copies), but every alternative
+            # measured worse in context: native NDHWC conv 649 vs 549 ms
+            # step (slower emitter at C=32), per-tap (1,kh,kw) NDHWC convs
+            # OOM (+6.5 GB of D+2-sized tap buffers), output-stacked
+            # [kh,kw,C,k*F] kernel +40% (combine pass + pad backward).
             xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0), (0, 0)))
             y = None
             for i in range(k):
@@ -165,6 +176,75 @@ class ConvTranspose(nn.Module):
         return y
 
 
+def _bn_stats(x):
+    """Per-channel (mean, var) in f32 via ONE fused pass (mean + mean of
+    squares). The f32 converts fuse into the reductions — no f32 copy of the
+    activation is materialized. Safe here: post-conv activations are O(10),
+    far from f32 cancellation; the max(., 0) guards residual rounding."""
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    mean2 = jnp.mean(jnp.square(xf), axis=axes)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    # Named so remat policies can pin them: the stats are C-sized f32
+    # vectors, but recomputing them in the backward re-reads the full
+    # activation (save_only_these_names("bn_stats") in factory/base_model).
+    mean = checkpoint_name(mean, "bn_stats")
+    var = checkpoint_name(var, "bn_stats")
+    return mean, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train_apply(x, scale, bias, eps):
+    """Batch-stat normalization with a hand-written VJP.
+
+    Autodiff of the straightforward formulation makes XLA save an f32,
+    layout-transposed copy of every normalized activation for the backward —
+    at B=8 production shapes that was ~116 ms/step of pure convert+copy
+    traffic (plus ~55 ms of stat re-reductions under remat). This VJP saves
+    only the bf16 input and three per-channel f32 vectors, and computes
+    dx/dscale/dbias from the standard closed form
+        dx = rstd*scale * (g - mean(g) - xhat * mean(g*xhat))
+    folded into ONE elementwise pass (dx = a*g + b*x + c with per-channel
+    f32 a, b, c) plus one fused reduction pass over (g, g*xhat).
+    """
+    y, _ = _bn_train_fwd(x, scale, bias, eps)
+    return y
+
+
+def _bn_train_fwd(x, scale, bias, eps):
+    mean, var = _bn_stats(x)
+    rstd = jax.lax.rsqrt(var + eps)
+    # y = x * a + b with per-channel f32 a, b: one fused multiply-add in the
+    # compute dtype; converts of the per-channel constants are free.
+    a = (rstd * scale).astype(jnp.float32)
+    b = bias - mean * a
+    y = x * a.astype(x.dtype) + b.astype(x.dtype)
+    return y, (x, mean, rstd, scale)
+
+
+def _bn_train_bwd(eps, res, g):
+    x, mean, rstd, scale = res
+    axes = tuple(range(x.ndim - 1))
+    n = float(np.prod([x.shape[a] for a in axes]))
+    gf = g.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * rstd   # fuses into the reduces
+    sum_g = jnp.sum(gf, axis=axes)
+    sum_gx = jnp.sum(gf * xhat, axis=axes)
+    dscale = sum_gx.astype(scale.dtype)
+    dbias = sum_g.astype(scale.dtype)
+    # dx = a*g + b2*x + c2, per-channel f32 coefficients
+    a = scale * rstd
+    b2 = -a * (sum_gx / n) * rstd
+    c2 = -a * (sum_g / n) - b2 * mean
+    dx = (g * a.astype(g.dtype) + x * b2.astype(x.dtype)
+          + c2.astype(x.dtype)).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+bn_train_apply.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch semantics.
 
@@ -194,34 +274,32 @@ class BatchNorm(nn.Module):
             ra_var = self.variable("batch_stats", "var",
                                    lambda: jnp.ones((c,), jnp.float32))
 
-        in_dtype = x.dtype
-        # Statistics in f32 via ONE pass (mean + mean-of-squares, flax's own
-        # formulation): the f32 converts fuse into the two reductions, so no
-        # f32 copy of the activation is ever materialized (the centered
-        # two-pass form cost ~32 ms/step of convert-copies at B=8). Safe here
-        # — post-conv activations are O(10), far from f32 cancellation; the
-        # max(., 0) guards the residual rounding case.
+        if self.use_scale_bias:
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+        else:
+            scale = jnp.ones((c,), jnp.float32)
+            bias = jnp.zeros((c,), jnp.float32)
+
         if train or not self.track_running_stats:
-            mean = jnp.mean(x.astype(jnp.float32), axis=axes)
-            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            # Batch-stat path: custom-VJP core (see bn_train_apply) — saves
+            # only the compute-dtype input + per-channel f32 vectors, so no
+            # f32 activation copy is materialized for the backward. Output
+            # stays in the caller's compute dtype (returning f32 under bf16
+            # mixed precision reinflates every conv->BN boundary).
+            y = bn_train_apply(x, scale, bias, self.eps)
             if self.track_running_stats and train and not self.is_initializing():
+                mean, var = _bn_stats(jax.lax.stop_gradient(x))
                 n = float(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        if self.use_scale_bias:
-            scale = self.param("scale", nn.initializers.ones, (c,))
-            bias = self.param("bias", nn.initializers.zeros, (c,))
-            y = y * scale + bias
-        # statistics/normalization in f32, but hand back the caller's compute
-        # dtype: returning f32 under bf16 mixed precision reinflates every
-        # conv->BN boundary to f32 HBM traffic (the next conv just casts back)
-        return y.astype(in_dtype)
+            a = jax.lax.rsqrt(var + self.eps) * scale
+            b = bias - mean * a
+            y = x * a.astype(x.dtype) + b.astype(x.dtype)
+        return y.astype(x.dtype)
 
 
 class ConvBN(nn.Module):

@@ -32,8 +32,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Host-side data-prep tool: run on CPU unless the caller explicitly picks a
+# platform. Without this the ambient TPU plugin grabs the accelerator at
+# import time (and silently ignores a JAX_PLATFORMS env var — see
+# utils/compile_cache.honor_jax_platforms_env).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+from depthestimation_tpu.utils.compile_cache import honor_jax_platforms_env
+
 from depthestimation_tpu.data import velodyne
 from depthestimation_tpu.data.ilim import lcsweep_to_rgbsweep
+
+honor_jax_platforms_env()
 
 # the LC camera intrinsics/distortion of the capture rig
 # (sweep_convert.py:68-75); calib.json can override via "K_lc"/"D_lc"
