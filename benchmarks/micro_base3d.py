@@ -22,7 +22,13 @@ Run: python benchmarks/micro_base3d.py
 from __future__ import annotations
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from depthestimation_tpu.utils.compile_cache import enable as _cc
+_cc()
 
 import jax
 import jax.numpy as jnp
@@ -191,6 +197,86 @@ def bench_bnstat():
         print(f"bnstat {name:9s} {timeit(fn, x):7.2f} ms  maxdiff {err:.2e}")
 
 
+def _conv3d_5d(x, k3):
+    """Current production form: 5D input, per-tap depth slice of the padded
+    volume, [B*D] reshape per conv (models/layers.py:Conv3d)."""
+    b, d, h, w, c = x.shape
+    f = k3.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for i in range(3):
+        xi = jax.lax.dynamic_slice_in_dim(xp, i, d, axis=1)
+        yi = jax.lax.conv_general_dilated(
+            xi.reshape(b * d, h, w, c), k3[i], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = yi if y is None else y + yi
+    return y.reshape(b, d, h, w, f)
+
+
+def _conv3d_flat(x, k3, d):
+    """Candidate: flattened [B*D, H, W, C] throughout; the 3 taps conv the
+    SAME input (no pad/slice copies) and the depth shift happens on the
+    conv OUTPUTS via roll + iota mask (fuses into the accumulate)."""
+    n = x.shape[0]
+    taps = [jax.lax.conv_general_dilated(
+        x, k3[i], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) for i in range(3)]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1, 1), 0) % d
+    y = taps[1]
+    for i in (0, 2):
+        s = i - 1
+        ti = jnp.roll(taps[i], -s, axis=0)
+        mask = (row + s >= 0) & (row + s < d)
+        y = y + jnp.where(mask, ti, jnp.zeros((), ti.dtype))
+    return y
+
+
+def _bn_relu(x):
+    mean, var = (jnp.mean(x.astype(jnp.float32), axis=tuple(range(x.ndim - 1))),
+                 jnp.var(x.astype(jnp.float32), axis=tuple(range(x.ndim - 1))))
+    a = jax.lax.rsqrt(var + 1e-5)
+    b = -mean * a
+    return jnp.maximum(x * a.astype(x.dtype) + b.astype(x.dtype), 0)
+
+
+def bench_resblock():
+    """One Base3D residual block (conv-bn-relu-conv-bn + add), 5D slice form
+    vs flat-4D output-shift form, fwd and fwd+bwd."""
+    rs = np.random.RandomState(0)
+    x5 = jnp.asarray(rs.randn(B, D, H, W, C), jnp.bfloat16)
+    ka = jnp.asarray(rs.randn(3, 3, 3, C, C) * 0.05, jnp.bfloat16)
+    kb = jnp.asarray(rs.randn(3, 3, 3, C, C) * 0.05, jnp.bfloat16)
+
+    @jax.jit
+    def block5d(x, ka, kb):
+        y = _bn_relu(_conv3d_5d(x, ka))
+        y = _bn_relu(_conv3d_5d(y, kb))
+        return y + x
+
+    @jax.jit
+    def block4d(x, ka, kb):
+        x4 = x.reshape(N, H, W, C)
+        y = _bn_relu(_conv3d_flat(x4, ka, D))
+        y = _bn_relu(_conv3d_flat(y, kb, D))
+        return (y + x4).reshape(B, D, H, W, C)
+
+    def wrap_bwd(block):
+        @jax.jit
+        def fb(x, ka, kb):
+            def f(x, ka, kb):
+                return jnp.sum(block(x, ka, kb).astype(jnp.float32) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(x, ka, kb)
+        return fb
+
+    a = np.asarray(block5d(x5, ka, kb), np.float32)
+    b = np.asarray(block4d(x5, ka, kb), np.float32)
+    print(f"resblock: 5d fwd {timeit(block5d, x5, ka, kb):7.2f} ms   "
+          f"flat4d fwd {timeit(block4d, x5, ka, kb):7.2f} ms   "
+          f"maxdiff {np.abs(a - b).max():.2e}")
+    print(f"resblock: 5d f+b {timeit(wrap_bwd(block5d), x5, ka, kb):7.2f} ms  "
+          f"flat4d f+b {timeit(wrap_bwd(block4d), x5, ka, kb):7.2f} ms")
+
+
 def bench_ew():
     x = jnp.asarray(np.random.RandomState(0).randn(B, D, H, W, C),
                     jnp.bfloat16)
@@ -204,8 +290,16 @@ def bench_ew():
 
 
 if __name__ == "__main__":
-    bench_conv(64)
-    bench_conv(128)
-    bench_conv3d()
-    bench_bnstat()
-    bench_ew()
+    import sys
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "conv"):
+        bench_conv(64)
+        bench_conv(128)
+    if which in ("all", "conv3d"):
+        bench_conv3d()
+    if which in ("all", "resblock"):
+        bench_resblock()
+    if which in ("all", "bnstat"):
+        bench_bnstat()
+    if which in ("all", "ew"):
+        bench_ew()
