@@ -3,6 +3,11 @@
 Input [B, D, H, W, C_in] (C_in = BV + prev_output (+prev_lc) + warped views),
 residual 3D conv stack, 1-channel classifier; optional log-softmax over the
 depth axis (reference models/models.py:377-439).
+
+``flat=True`` (default) runs the whole stack in the FLATTENED
+[B*D, H, W, C] layout: one reshape at entry/exit instead of a 5D<->4D
+layout flip at every conv boundary, and the Conv3d depth taps become
+roll+mask combines of full-volume 2D convs (see layers.Conv3d.depth).
 """
 
 from __future__ import annotations
@@ -20,30 +25,39 @@ class Base3D(nn.Module):
     dres_count: int = 4
     bn_avg: bool = False
     dtype: Any = None
+    flat: bool = True
 
     @nn.compact
     def __call__(self, volume, train: bool = True, prob: bool = True):
+        b, d, h, w, c = volume.shape
+        dep = d if self.flat else None
+        x = volume.reshape(b * d, h, w, c) if self.flat else volume
+
         x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                     dtype=self.dtype)(volume, train)
+                     dtype=self.dtype, depth=dep)(x, train)
         x = nn.relu(x)
         x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                     dtype=self.dtype)(x, train)
+                     dtype=self.dtype, depth=dep)(x, train)
         x = nn.relu(x)
 
         for _ in range(self.dres_count):
             y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                         dtype=self.dtype)(x, train)
+                         dtype=self.dtype, depth=dep)(x, train)
             y = nn.relu(y)
             y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                         dtype=self.dtype)(y, train)
+                         dtype=self.dtype, depth=dep)(y, train)
             x = y + x
 
         x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                     dtype=self.dtype)(x, train)
+                     dtype=self.dtype, depth=dep)(x, train)
         x = nn.relu(x)
-        x = Conv3d(1, 3, 1, 1, use_bias=False, dtype=self.dtype)(x)
-        x = x.astype(jnp.float32)                   # [B, D, H, W, 1]
-        x = x[..., 0]                                # [B, D, H, W]
+        x = Conv3d(1, 3, 1, 1, use_bias=False, dtype=self.dtype,
+                   depth=dep)(x)
+        x = x.astype(jnp.float32)
+        if self.flat:
+            x = x.reshape(b, d, h, w)
+        else:
+            x = x[..., 0]                            # [B, D, H, W]
 
         if prob:
             return nn.log_softmax(x, axis=1)

@@ -70,6 +70,10 @@ class BaseModelNet(nn.Module):
     #: FLOPs yet its interior is only ~3 GB at batch 8, so storing it keeps
     #: most of the memory win while skipping the most expensive recompute
     remat: Any = False
+    #: run Base3D in the flattened [B*D, H, W, C] layout (layers.Conv3d
+    #: depth path) — same math, same parameter tree, fewer layout copies;
+    #: False = the 5D per-tap-slice form
+    conv3d_flat: bool = True
 
     def _remat_mode(self) -> str:
         if self.remat in (False, None, "none"):
@@ -98,7 +102,8 @@ class BaseModelNet(nn.Module):
         self.conv0_2 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         if self.nmode in ("exp3", "exp4", "exp6", "exp7", "exp7_lc", "lc"):
             self.based_3d = b3d_cls(feature_dim=32, dres_count=2,
-                                    bn_avg=self.bn_avg, dtype=self.dtype)
+                                    bn_avg=self.bn_avg, dtype=self.dtype,
+                                    flat=self.conv3d_flat)
         if self.nmode == "exp8":
             # Structural parity with the reference's exp8 (models.py:477-478):
             # it allocates a second decoder but has NO forward branch —

@@ -53,6 +53,7 @@ def get_model(cfg):
             dtype=dtype,
             sweep_impl=cfg.var.get("sweep_impl", "decomposed"),
             remat=_resolve_remat(cfg),
+            conv3d_flat=bool(cfg.get("tpu", {}).get("conv3d_flat", True)),
         )
     if name == "default":
         return DefaultModel(d=cfg.var.ndepth)

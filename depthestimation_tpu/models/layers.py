@@ -97,6 +97,14 @@ class Conv3d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Any = None
+    #: when set, accepts the volume FLATTENED to [B*D, H, W, C] (D-major
+    #: rows) and keeps the whole computation 4D: the k depth taps conv the
+    #: SAME input (no per-tap pad/slice copies) and the depth shift happens
+    #: on the conv outputs via roll + iota validity mask, which fuses into
+    #: the accumulate. Staying 4D lets layout assignment propagate the
+    #: conv-friendly layout through the surrounding BN/relu/residual ops
+    #: instead of flipping 5D<->4D at every conv boundary.
+    depth: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -107,7 +115,29 @@ class Conv3d(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
 
-        if s == 1 and p == k // 2:
+        if x.ndim == 4:
+            if self.depth is None or s != 1 or p != k // 2:
+                raise ValueError("flat Conv3d needs depth set and the "
+                                 "stride-1 'same' geometry")
+            n, h, w, c = x.shape
+            d = self.depth
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+            taps = [jax.lax.conv_general_dilated(
+                x, kernel[i], (1, 1), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                for i in range(k)]
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1, 1), 0) % d
+            y = taps[p]
+            for i in range(k):
+                shift = i - p
+                if shift == 0:
+                    continue
+                ti = jnp.roll(taps[i], -shift, axis=0)
+                valid = (row + shift >= 0) & (row + shift < d)
+                y = y + jnp.where(valid, ti, jnp.zeros((), ti.dtype))
+        elif s == 1 and p == k // 2:
             b, d, h, w, c = x.shape
             if self.dtype is not None:
                 x = x.astype(self.dtype)
@@ -322,18 +352,21 @@ class ConvBN(nn.Module):
 
 
 class ConvBN3d(nn.Module):
-    """convbn_3d (models.py:32-36)."""
+    """convbn_3d (models.py:32-36). ``depth`` selects the flat-4D Conv3d
+    path (input [B*D, H, W, C]); BatchNorm reduces over all-but-channel
+    either way."""
     features: int
     kernel_size: int
     stride: int
     pad: int
     bn_running_avg: bool = False
     dtype: Any = None
+    depth: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv3d(self.features, self.kernel_size, self.stride, self.pad,
-                   use_bias=False, dtype=self.dtype)(x)
+                   use_bias=False, dtype=self.dtype, depth=self.depth)(x)
         return BatchNorm(self.bn_running_avg)(x, train)
 
 

@@ -1,0 +1,59 @@
+"""Flat-4D Base3D (layers.Conv3d depth path) vs the 5D per-tap-slice form.
+
+Same parameter tree, same math — outputs and gradients must agree to
+rounding. Guards the depth-shift roll+mask combine (cross-batch rows must
+see zeros exactly like the 5D depth padding)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthestimation_tpu.models.base3d import Base3D
+
+
+def _mk(flat):
+    return Base3D(feature_dim=8, dres_count=2, bn_avg=False, dtype=None,
+                  flat=flat)
+
+
+def test_flat_matches_5d_forward_and_grad():
+    rs = np.random.RandomState(0)
+    vol = jnp.asarray(rs.randn(2, 6, 8, 10, 5), jnp.float32)
+
+    m5, m4 = _mk(False), _mk(True)
+    params = m5.init(jax.random.PRNGKey(0), vol, True, True)
+    # identical param tree: the flat form must load 5D-form checkpoints
+    chex_tree = jax.tree_util.tree_structure(params)
+    assert chex_tree == jax.tree_util.tree_structure(
+        m4.init(jax.random.PRNGKey(0), vol, True, True))
+
+    o5 = m5.apply(params, vol, True, True)
+    o4 = m4.apply(params, vol, True, True)
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(o5),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(m):
+        def f(p, v):
+            return jnp.sum(m.apply(p, v, True, False) ** 2)
+        return f
+
+    g5 = jax.grad(loss(m5), argnums=(0, 1))(params, vol)
+    g4 = jax.grad(loss(m4), argnums=(0, 1))(params, vol)
+    for a, b in zip(jax.tree_util.tree_leaves(g4),
+                    jax.tree_util.tree_leaves(g5)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_flat_depth_edges_zero_padded():
+    """A volume that is nonzero ONLY in the last depth slice of item 0 must
+    not leak into item 1's first depth slice through the flattened rows."""
+    vol = np.zeros((2, 4, 6, 6, 3), np.float32)
+    vol[0, -1] = 1.0
+    vol = jnp.asarray(vol)
+    m5, m4 = _mk(False), _mk(True)
+    params = m5.init(jax.random.PRNGKey(1), vol, True, True)
+    o5 = m5.apply(params, vol, True, False)
+    o4 = m4.apply(params, vol, True, False)
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(o5),
+                               atol=1e-5, rtol=1e-5)
