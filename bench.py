@@ -20,9 +20,29 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_torch_cpu.json")
+FORWARD_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "bench_forward.json")
 BATCH = 1
 ITERS = 20
 WARMUP = 3
+
+
+def accelerator_alive(timeout_s: int = 180) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel can go unavailable in a way that blocks backend
+    init inside a C call (no Python signal delivery), which would hang the
+    whole bench. A dead probe lets main() fall back to the last recorded
+    numbers instead of losing the round's measurement."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "jnp.ones((2, 2)).sum().block_until_ready(); print('ALIVE')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return "ALIVE" in r.stdout
+    except Exception:
+        return False
 
 
 def bench_jax(batch: int = BATCH) -> float:
@@ -101,6 +121,8 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
     out = {}
     t_start = time.perf_counter()
     try:
+        if not batches:
+            raise TimeoutError("no live measurement requested")
         from bench_train import bench_train_step
         for b in batches:
             if time.perf_counter() - t_start > budget_s:
@@ -118,7 +140,9 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "bench_train.json")
         if os.path.isfile(cache):
-            for r in json.load(open(cache)):
+            # mfu fields from the LARGEST measured batch (the headline row)
+            rows = sorted(json.load(open(cache)), key=lambda r: -r["batch"])
+            for r in rows:
                 out.setdefault(f"train_fps_b{r['batch']}",
                                r["frames_per_sec"])
                 out.setdefault(f"train_step_b{r['batch']}_ms", r["step_ms"])
@@ -138,6 +162,17 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
 
 
 def main():
+    if not accelerator_alive():
+        # tunnel down: emit the last recorded measurement, marked as cached
+        print("accelerator unreachable; reporting cached bench_forward.json",
+              file=sys.stderr)
+        line = {"metric": "forward_fps_kitti_384x256_d64", "value": None,
+                "unit": "frames/sec", "vs_baseline": None, "cached": True}
+        if os.path.isfile(FORWARD_CACHE):
+            line.update(json.load(open(FORWARD_CACHE)))
+        line.update(bench_train(batches=()))   # cached rows only
+        print(json.dumps(line), flush=True)
+        return
     fps = bench_jax()
     try:
         base = bench_torch_cpu()
@@ -156,6 +191,12 @@ def main():
         print(json.dumps(line), flush=True)
     except Exception as e:
         print(f"batched forward bench failed: {e}", file=sys.stderr)
+    try:
+        json.dump({k: line[k] for k in
+                   ("value", "vs_baseline", "forward_fps_b8")
+                   if k in line}, open(FORWARD_CACHE, "w"))
+    except Exception:
+        pass
     if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
         line.update(bench_train())
         print(json.dumps(line), flush=True)

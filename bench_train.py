@@ -41,6 +41,7 @@ def _tpu_peak_flops(device) -> float | None:
 
 def bench_train_step(batch: int, iters: int, warmup: int = 2,
                      dtype: str | None = None, remat: str | None = None,
+                     conv3d_flat: bool | None = None,
                      with_cost: bool = False) -> dict:
     from depthestimation_tpu.utils.compile_cache import enable as _cc
     _cc()
@@ -62,6 +63,8 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
     cfg["tpu"]["dtype"] = dtype or "bfloat16"
     if remat:
         cfg["tpu"]["remat"] = remat
+    if conv3d_flat is not None:
+        cfg["tpu"]["conv3d_flat"] = conv3d_flat
     model = get_model(cfg)
     loss = get_loss(cfg)
     mi, gt = _sample_input(cfg, batch=batch)
@@ -131,7 +134,9 @@ def main():
     ap.add_argument("--dtype", default=None,
                     help="tpu.dtype override (float32/bfloat16)")
     ap.add_argument("--remat", default=None,
-                    help="tpu.remat override (auto/none/hot/full)")
+                    help="tpu.remat override (auto/none/hot/full/save3d)")
+    ap.add_argument("--conv3d-flat", default=None, choices=["on", "off"],
+                    help="Base3D layout ablation (default: config/on)")
     ap.add_argument("--cost", action="store_true",
                     help="report XLA-cost-analysis FLOPs + MFU")
     ap.add_argument("--no-save", action="store_true",
@@ -141,7 +146,10 @@ def main():
     results = []
     for b in args.batches:
         r = bench_train_step(b, args.iters, dtype=args.dtype,
-                             remat=args.remat, with_cost=args.cost)
+                             remat=args.remat,
+                             conv3d_flat=(None if args.conv3d_flat is None
+                                          else args.conv3d_flat == "on"),
+                             with_cost=args.cost)
         results.append(r)
         print(json.dumps({"metric": f"train_step_b{b}_kitti_384x256_d64",
                           "value": r["frames_per_sec"],
@@ -150,7 +158,10 @@ def main():
                                                                 "frames_per_sec")}}),
               flush=True)
 
-    if not args.no_save:
+    # only production-config runs update the committed json (ablation
+    # overrides would silently replace the headline rows)
+    ablation = (args.dtype or args.remat or args.conv3d_flat is not None)
+    if not args.no_save and not ablation:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "bench_train.json")
         # merge by batch so partial runs refresh rows instead of dropping
