@@ -31,6 +31,7 @@ from depthestimation_tpu.models.layers import Conv, avg_pool, leaky_relu, max_po
 from depthestimation_tpu.ops.plane_sweep import (
     plane_sweep_and_warp,
     plane_sweep_and_warp_decomposed,
+    plane_sweep_and_warp_decomposed_batched,
     plane_sweep_volume,
     plane_sweep_volume_decomposed,
     warp_feature_volume,
@@ -60,6 +61,28 @@ class BaseModelNet(nn.Module):
     #: one extra bilinear smoothing otherwise — ops/plane_sweep.py); "gather"
     #: = the direct per-depth 4-tap gather (bit-parity with the torch oracle)
     sweep_impl: str = "decomposed"
+    #: compute dtype of the decomposed sweep's resample matmuls. "auto" =
+    #: follow ``dtype`` (bf16 training runs the sweep in bf16 — single MXU
+    #: pass instead of f32 HIGHEST's six, and half the intermediate bytes;
+    #: the cost reduction still accumulates in f32). f32 models keep the
+    #: exact-at-identity f32/HIGHEST contract (ops/plane_sweep.py).
+    sweep_dtype: Any = "auto"
+    #: run stage 2 of the decomposed sweep as the fused Pallas kernel
+    #: (ops/sweep_pallas.py — VMEM-resident depth sweep, no [C, D, H, W]
+    #: HBM intermediates). "auto" = on a SINGLE-device TPU backend when the
+    #: sweep compute dtype is bf16 (the production training config); f32
+    #: keeps the XLA HIGHEST-precision einsums and their exact-at-identity
+    #: contract, and multi-device meshes keep the XLA path, which GSPMD can
+    #: batch-partition (a pallas_call is an opaque custom call — sharding it
+    #: would force an all-gather). True/False force.
+    sweep_pallas: Any = "auto"
+
+    def _use_sweep_pallas(self) -> bool:
+        if self.sweep_pallas == "auto":
+            return (jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1
+                    and self._sweep_dtype() == jnp.bfloat16)
+        return bool(self.sweep_pallas)
     #: block-level rematerialization: the checkpointed blocks recompute their
     #: activations in the backward, so peak HBM = the largest single block
     #: instead of the whole graph. Needed for per-chip batch >= 4 at full
@@ -111,6 +134,11 @@ class BaseModelNet(nn.Module):
             # reproduces that contract with a clearer message.
             self.base_decoder2 = dec_cls(self.d, dtype=self.dtype)
 
+    def _sweep_dtype(self):
+        if self.sweep_dtype == "auto":
+            return self.dtype or jnp.float32
+        return self.sweep_dtype or jnp.float32
+
     # -- shared encoder path --------------------------------------------
 
     def _encode(self, model_input, train: bool):
@@ -133,8 +161,13 @@ class BaseModelNet(nn.Module):
         d_candi = model_input["d_candi"]
         feats = _nchw(feat_all)                       # [B, T, C+3, h, w]
 
-        sweep = (plane_sweep_volume_decomposed
-                 if self.sweep_impl == "decomposed" else plane_sweep_volume)
+        if self.sweep_impl == "decomposed":
+            sdt = self._sweep_dtype()
+
+            def sweep(*a, **k):
+                return plane_sweep_volume_decomposed(*a, dtype=sdt, **k)
+        else:
+            sweep = plane_sweep_volume
 
         def per_item(feats_i, poses_i, intr_i, rays_i):
             return sweep(
@@ -167,8 +200,24 @@ class BaseModelNet(nn.Module):
         fa = _nchw(feat_all)
         fr = _nchw(feat_raw)
 
-        sweep = (plane_sweep_and_warp_decomposed
-                 if self.sweep_impl == "decomposed" else plane_sweep_and_warp)
+        if self.sweep_impl == "decomposed" and self._use_sweep_pallas():
+            def batched(fa_b, fr_b, poses, intr_b):
+                return plane_sweep_and_warp_decomposed_batched(
+                    fa_b, fr_b, d_candi, poses, intr_b, self.sigma_soft_max,
+                    dtype=self._sweep_dtype())
+
+            if self._remat_mode() != "none":
+                batched = jax.checkpoint(batched)
+            return batched(fa, fr, model_input["src_cam_poses"],
+                           model_input["intrinsics"])
+
+        if self.sweep_impl == "decomposed":
+            sdt = self._sweep_dtype()
+
+            def sweep(*a, **k):
+                return plane_sweep_and_warp_decomposed(*a, dtype=sdt, **k)
+        else:
+            sweep = plane_sweep_and_warp
 
         def per_item(fa_i, fr_i, poses_i, intr_i, rays_i):
             return sweep(

@@ -52,6 +52,9 @@ def get_model(cfg):
             use_lc_prob=cfg.lc.get("use_lc_prob", 0.7),
             dtype=dtype,
             sweep_impl=cfg.var.get("sweep_impl", "decomposed"),
+            sweep_dtype=_DTYPES.get(
+                cfg.get("tpu", {}).get("sweep_dtype", "auto"), "auto"),
+            sweep_pallas=cfg.get("tpu", {}).get("sweep_pallas", "auto"),
             remat=_resolve_remat(cfg),
             conv3d_flat=bool(cfg.get("tpu", {}).get("conv3d_flat", True)),
         )

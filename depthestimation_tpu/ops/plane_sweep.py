@@ -314,6 +314,73 @@ def plane_sweep_and_warp_decomposed(feat_all, feat_raw, d_candi, rots, tras,
     return cost, warped
 
 
+def plane_sweep_and_warp_decomposed_batched(feat_all, feat_raw, d_candi,
+                                            poses, intr, sigma: float,
+                                            dtype=jnp.float32,
+                                            use_pallas: bool = True,
+                                            interpret: bool = False):
+    """Whole-batch fused decomposed sweep, stage 2 on the Pallas kernel.
+
+    Same math as vmapping :func:`plane_sweep_and_warp_decomposed` over the
+    batch, but stage 2 (the per-depth banded matmuls + L2 reduction + raw
+    diagonal) runs as ONE fused Pallas kernel over all B*V source views —
+    the [C, D, H, W] intermediates never touch HBM (ops/sweep_pallas.py).
+    Stage 1 (the depth-independent homography resample) stays in XLA.
+
+    feat_all: [B, T, C1, H, W]; feat_raw: [B, T, D, H, W]; poses
+    [B, T, 4, 4] (last view = reference); intr [B, 3, 3].
+    Returns (cost [B, D, H, W] f32, warped [B, T, D, H, W] f32).
+
+    ``use_pallas=False`` falls back to the per-item XLA path (used on CPU,
+    where the compiled kernel is unavailable; ``interpret=True`` runs the
+    kernel through the Pallas interpreter instead — tests only).
+    """
+    b, t, c1, h, w = feat_all.shape
+    v = t - 1
+    d = feat_raw.shape[2]
+    rots = poses[..., :3, :3]
+    tras = poses[..., :3, 3]
+
+    if not (use_pallas or interpret):
+        def per_item(fa_i, fr_i, rot_i, tra_i, intr_i):
+            return plane_sweep_and_warp_decomposed(
+                fa_i, fr_i, d_candi, rot_i, tra_i, intr_i, None, sigma,
+                dtype=dtype)
+        return jax.vmap(per_item)(feat_all, feat_raw, rots, tras, intr)
+
+    from depthestimation_tpu.ops.sweep_pallas import sweep_stage2
+
+    # stage 1: depth-independent homography resample of every source view
+    def s1_view(fa_i, fr_i, rot_i, intr_i):
+        return (_homography_resample(fa_i, rot_i, intr_i),
+                _homography_resample(fr_i, rot_i, intr_i))
+
+    fa_a, fr_a = jax.vmap(jax.vmap(s1_view, in_axes=(0, 0, 0, None)))(
+        feat_all[:, :-1], feat_raw[:, :-1], rots[:, :-1], intr)
+
+    def mats_view(rot_i, tra_i, intr_i):
+        rx, ry = _sweep_mats(d_candi, rot_i, tra_i, intr_i, h, w)
+        return jnp.swapaxes(rx, -1, -2), ry            # [D, W, X], [D, Y, H]
+
+    rxt, ry = jax.vmap(jax.vmap(mats_view, in_axes=(0, 0, None)))(
+        rots[:, :-1], tras[:, :-1], intr)
+
+    n = b * v
+    fa_n = fa_a.reshape((n, c1, h, w)).astype(dtype)
+    fr_n = fr_a.reshape((n, d, h, w)).astype(dtype)
+    rxt_n = rxt.reshape((n, d, w, w)).astype(dtype)
+    ry_n = ry.reshape((n, d, h, h)).astype(dtype)
+    ref = feat_all[:, -1].astype(dtype)                       # [B, C1, H, W]
+
+    cost_nv, diag_nv = sweep_stage2(fa_n, ref, fr_n, rxt_n, ry_n, v,
+                                    interpret)
+    cost = cost_nv.reshape(b, v, d, h, w).sum(axis=1) / sigma
+    warped = jnp.concatenate(
+        [diag_nv.reshape(b, v, d, h, w),
+         feat_raw[:, -1:].astype(jnp.float32)], axis=1)
+    return cost, warped
+
+
 def plane_sweep_volume_decomposed(feat_ref, feat_srcs, d_candi, rots, tras,
                                   intr, unit_rays, sigma: float,
                                   dist: str = "L2", dtype=jnp.float32):
