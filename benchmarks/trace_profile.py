@@ -75,15 +75,16 @@ def capture(batch: int, iters: int, dtype: str, remat: str, logdir: str):
 
 
 def op_table(logdir: str, top: int = 25):
-    """Parse the captured xplane into (op category/name, self time) rows."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    """Parse the captured xplane into (op name, self-time ms, count) rows.
 
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                        recursive=True)
-    if not xplanes:
-        raise FileNotFoundError(f"no xplane.pb under {logdir}")
-    data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
-    return data
+    Uses the in-repo wire-format parser (tools/xplane.py) — the baked-in
+    tensorboard_plugin_profile can't load under protobuf 5 here."""
+    from tools.xplane import op_self_times
+
+    total, agg, cnt = op_self_times(logdir)
+    rows = [{"op": nm, "self_ms": round(ms, 3), "count": cnt[nm]}
+            for nm, ms in agg.most_common(top)]
+    return {"total_ms": round(total, 2), "ops": rows}
 
 
 def main():
@@ -104,22 +105,15 @@ def main():
         capture(args.batch, args.iters, args.dtype, args.remat, logdir)
         print(f"trace captured under {logdir}")
 
-    data = op_table(logdir)
+    data = op_table(logdir, top=args.top)
     out = os.path.join(logdir, "op_stats.json")
     with open(out, "w") as f:
-        f.write(data if isinstance(data, str) else json.dumps(data))
+        json.dump(data, f, indent=1)
     print(f"op stats written to {out}")
-    try:
-        rows = json.loads(data) if isinstance(data, str) else data
-        # gviz DataTable: {cols: [...], rows: [{c: [{v: ...}, ...]}]}
-        table = rows[1] if isinstance(rows, list) and len(rows) > 1 else rows
-        cols = [c.get("label") or c.get("id") for c in table["cols"]]
-        print("\t".join(cols))
-        for r in table["rows"][: args.top]:
-            print("\t".join(str(c.get("v") if isinstance(c, dict) else c)
-                            for c in r["c"]))
-    except Exception as e:  # format drift: raw JSON is already on disk
-        print(f"(pretty-print failed: {e}; inspect {out})")
+    print(f"device op self-time total: {data['total_ms']:.1f} ms "
+          f"(over {args.iters} iters)")
+    for r in data["ops"]:
+        print(f"  {r['self_ms']:9.2f} ms  x{r['count']:4d}  {r['op'][:100]}")
 
 
 if __name__ == "__main__":

