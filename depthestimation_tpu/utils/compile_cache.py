@@ -27,11 +27,36 @@ def honor_jax_platforms_env() -> None:
         pass
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's ISA feature set.
+
+    XLA:CPU AOT executables embed the compile machine's vector features;
+    loading one on a host with a different feature set is at best a
+    different float-reassociation order and at worst a SIGILL (the loader
+    warns "Machine type used for XLA:CPU compilation doesn't match").
+    The tunneled environment migrates between hosts, so CPU cache entries
+    must be partitioned per feature set. TPU entries are host-agnostic.
+    """
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine() or "unknown"
+
+
 def enable(path: str | None = None) -> None:
     """Best-effort: old jax versions or read-only filesystems just no-op."""
     honor_jax_platforms_env()
     path = path or os.environ.get("DEPTHTPU_COMPILE_CACHE",
                                   os.path.expanduser("~/.cache/depthtpu_xla"))
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith("cpu"):
+        path = os.path.join(path, "cpu-" + _host_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
         import jax

@@ -121,7 +121,11 @@ def op_self_times(logdir: str, device_substr: str = "TPU",
         if device_substr not in pname:
             continue
         for lname, events in lines:
-            if line_substr not in lname:
+            # exact match: the substring "XLA Ops" would also catch the
+            # "Async XLA Ops" line, whose events (async copy-start/done
+            # spans) overlap the sync timeline and double-count ~4x the
+            # real step time in copy ops.
+            if lname != line_substr:
                 continue
             for mid, dur in events:
                 nm = meta.get(mid, f"meta_{mid}")
