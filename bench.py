@@ -82,17 +82,12 @@ def bench_jax(batch: int = BATCH) -> float:
         m["rgb"] = m["rgb"] + feedback
         return m
 
+    # readback-barrier timing: block_until_ready is NOT a reliable
+    # completion barrier on the tunneled runtime (utils/timing.py)
+    from depthestimation_tpu.utils.timing import time_chain
+
     jstep = jax.jit(step)
-    m = jstep(mi)
-    jax.block_until_ready(m)
-    for _ in range(WARMUP):
-        m = jstep(m)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        m = jstep(m)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt, _ = time_chain(jstep, mi, ITERS, warmup=WARMUP)
     return batch / dt
 
 

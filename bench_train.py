@@ -86,10 +86,12 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
         gt["dmap_imgsizes"], gt["masks_imgsizes"], d_candi, jnp.float32(0.3),
         cfg.var.ndepth)
 
+    from depthestimation_tpu.utils.timing import readback, roundtrip_s
+
     key = jax.random.PRNGKey(1)
     t_compile = time.perf_counter()
     state, l, _ = step(state, mi, mi, gt, gt, key)
-    l.block_until_ready()
+    readback(l)
     compile_s = time.perf_counter() - t_compile
 
     flops = None
@@ -106,14 +108,18 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
     for i in range(warmup):
         state, l, _ = step(state, mi, mi, gt, gt,
                            jax.random.fold_in(key, i))
-    l.block_until_ready()
+    readback(l)
+    rtt = roundtrip_s(l)
 
+    # the state chains through every step, so reading the final loss back
+    # to the host forces the whole sequence (block_until_ready is not a
+    # reliable completion barrier on the tunneled runtime — utils/timing.py)
     t0 = time.perf_counter()
     for i in range(iters):
         state, l, _ = step(state, mi, mi, gt, gt,
                            jax.random.fold_in(key, 100 + i))
-    l.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    readback(l)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
     out = {"batch": batch, "step_ms": round(dt * 1e3, 2),
            "frames_per_sec": round(batch / dt, 3),
            "compile_s": round(compile_s, 1),

@@ -85,13 +85,15 @@ def main():
             prev = out["output_refined"][-1][:, :, ::4, ::4]
         return jnp.sum(out["output_refined"][-1]) * 1e-12
 
+    from depthestimation_tpu.utils.timing import readback, roundtrip_s
     fb = run_loop(jnp.float32(0.0))
-    jax.block_until_ready(fb)               # compile
+    readback(fb)                            # compile
+    rtt = roundtrip_s(fb)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         fb = run_loop(fb)
-    jax.block_until_ready(fb)
-    dt_loop = (time.perf_counter() - t0) / args.iters
+    readback(fb)
+    dt_loop = max(time.perf_counter() - t0 - rtt, 1e-9) / args.iters
 
     # -- scan rollout ------------------------------------------------------
     rollout_raw = make_rollout(model)
@@ -104,12 +106,12 @@ def main():
         return jnp.sum(out["output_refined"]) * 1e-12
 
     fb = rollout_step(jnp.float32(0.0))
-    jax.block_until_ready(fb)
+    readback(fb)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         fb = rollout_step(fb)
-    jax.block_until_ready(fb)
-    dt_scan = (time.perf_counter() - t0) / args.iters
+    readback(fb)
+    dt_scan = max(time.perf_counter() - t0 - rtt, 1e-9) / args.iters
 
     res = {"metric": "eval_rollout_fps", "frames": f,
            "per_frame_loop_fps": round(f / dt_loop, 2),

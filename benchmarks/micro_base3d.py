@@ -42,27 +42,23 @@ N = B * D
 
 def timeit(fn, *args, iters=20):
     """Time fn(*args) with each iteration chained through arg0 by a tiny
-    NONZERO feedback term (the remote TPU runtime dedupes identical
-    dispatches; a *0.0 chain leaves the input value unchanged and can be
-    deduped away). Loop stays pipelined: one block at the end."""
+    NONZERO feedback term and a roll (the remote TPU runtime dedupes
+    executions it has already seen the input contents for; a *0.0 chain —
+    or a bf16 chain whose feedback rounds away — repeats the input and the
+    iterations come back from cache). Completion is forced by a host
+    readback: block_until_ready is NOT a reliable barrier on the tunneled
+    runtime (utils/timing.py)."""
+    from depthestimation_tpu.utils.timing import time_chain
 
     @jax.jit
     def step(a0):
         out = fn(a0, *args[1:])
         leaf = jax.tree_util.tree_leaves(out)[0]
         fb = (jnp.sum(leaf.astype(jnp.float32)) * 1e-12).astype(a0.dtype)
-        return a0 + fb
+        return jnp.roll(a0 + fb, 1, axis=0)
 
-    a = step(args[0])
-    jax.block_until_ready(a)
-    for _ in range(3):
-        a = step(a)
-    jax.block_until_ready(a)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        a = step(a)
-    jax.block_until_ready(a)
-    return (time.perf_counter() - t0) / iters * 1e3
+    dt, _ = time_chain(step, args[0], iters)
+    return dt * 1e3
 
 
 def bench_conv(c: int):
