@@ -126,14 +126,22 @@ class Conv3d(nn.Module):
                 kernel = kernel.astype(self.dtype)
             # one conv with the depth taps stacked on the output channels:
             # the weight gradient becomes a single [kh,kw,C,k*F] conv
-            # instead of k separate ones (B=8 layer fwd+bwd 11.5 -> 10.0 ms,
+            # instead of k separate ones (B=8 train step 372 -> 348 ms,
             # readback-barrier measured); the tap slices fuse into the
-            # roll/mask combine below
-            kcat = jnp.concatenate([kernel[i] for i in range(k)], axis=-1)
-            tcat = jax.lax.conv_general_dilated(
-                x, kcat, (1, 1), ((p, p), (p, p)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            taps = [tcat[..., i * self.features:(i + 1) * self.features]
+            # roll/mask combine below. At small flattened batches the
+            # stacked conv loses (B=1 step 98 -> 114 ms) — gate on rows.
+            if n >= 192:
+                kcat = jnp.concatenate([kernel[i] for i in range(k)],
+                                       axis=-1)
+                tcat = jax.lax.conv_general_dilated(
+                    x, kcat, (1, 1), ((p, p), (p, p)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                taps = [tcat[..., i * self.features:(i + 1) * self.features]
+                        for i in range(k)]
+            else:
+                taps = [jax.lax.conv_general_dilated(
+                    x, kernel[i], (1, 1), ((p, p), (p, p)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
                     for i in range(k)]
             row = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1, 1), 0) % d
             y = taps[p]
