@@ -29,17 +29,18 @@ HP, WP = H + 2, W + 2
 
 
 def timeit(fn, src, y0, x0, fx, fy, iters=20):
-    """Chain each iteration through the previous output — this TPU runtime
-    DEDUPES identical dispatches (see CLAUDE.md), so timing a loop of
-    bit-identical calls measures one dispatch."""
-    out = fn(src, y0, x0, fx, fy)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        fx_i = fx + out[0, 0, :1] * 0.0
-        out = fn(src, y0, x0, fx_i, fy)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    """Readback-barrier timing with a content-changing chain: the runtime
+    dedupes executions by input content, and block_until_ready is not a
+    reliable completion barrier here (utils/timing.py)."""
+    from depthestimation_tpu.utils.timing import time_chain
+
+    def step(s):
+        out = fn(s, y0, x0, fx, fy)
+        fb = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(s.dtype)
+        return jnp.roll(s + fb, 1, axis=0)
+
+    dt, _ = time_chain(step, src, iters)
+    return dt * 1e3
 
 
 def main():

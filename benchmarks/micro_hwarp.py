@@ -33,15 +33,17 @@ N = H * W
 
 
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        # chain through input: the TPU runtime dedupes identical dispatches
-        a0 = args[0] + out[0, 0, 0, :1] * 0.0
+    # readback-barrier timing + content-changing chain (utils/timing.py)
+    from depthestimation_tpu.utils.timing import time_chain
+
+    def step(a0):
         out = fn(a0, *args[1:])
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        fb = (jnp.sum(leaf.astype(jnp.float32)) * 1e-12).astype(a0.dtype)
+        return jnp.roll(a0 + fb, 1, axis=0)
+
+    dt, _ = time_chain(step, args[0], iters)
+    return dt * 1e3
 
 
 def main():

@@ -26,17 +26,14 @@ def timeit(name, fn, *a, iters=20):
         new0 = args[0] + feedback.astype(args[0].dtype)
         return (new0,) + tuple(args[1:])
 
-    jstep = jax.jit(step)
-    args = jstep(tuple(a))
-    jax.block_until_ready(args)
-    for _ in range(3):
-        args = jstep(args)
-    jax.block_until_ready(args)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        args = jstep(args)
-    jax.block_until_ready(args)
-    dt = (time.perf_counter() - t0) / iters * 1e3
+    from depthestimation_tpu.utils.timing import time_chain
+
+    def rollstep(args):
+        args = step(args)
+        return (jnp.roll(args[0], 1, axis=0),) + tuple(args[1:])
+
+    dt, _ = time_chain(jax.jit(rollstep), tuple(a), iters)
+    dt = dt * 1e3
     print(f"  {name:34s}: {dt:8.3f} ms")
     return dt
 

@@ -76,14 +76,29 @@ def main():
         bv = jax.jit(stage_bv)(cost)
 
         def timeit(name, fn, *a):
+            # chain through the first float leaf + readback barrier
+            # (utils/timing.py: block_until_ready unreliable, runtime
+            # dedupes repeated input contents)
+            from depthestimation_tpu.utils.timing import time_chain
             jfn = jax.jit(fn)
-            out = jfn(*a)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = jfn(*a)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / args.iters * 1e3
+
+            def step(x0):
+                out = jfn(x0, *a[1:]) if a else jfn(x0)
+                leaf = [t for t in jax.tree_util.tree_leaves(out)
+                        if jnp.issubdtype(t.dtype, jnp.floating)][0]
+                fb = (jnp.sum(leaf.astype(jnp.float32))
+                      * 1e-12).astype(jnp.float32)
+                first = jax.tree_util.tree_leaves(x0)[0]
+                bumped = jax.tree_util.tree_map(
+                    lambda v: (v + fb.astype(v.dtype)
+                               if jnp.issubdtype(v.dtype, jnp.floating)
+                               else v), x0)
+                del first
+                return bumped
+
+            seed = a[0] if a else None
+            dt, _ = time_chain(step, seed, args.iters)
+            dt = dt * 1e3
             print(f"  B={batch} {name:12s}: {dt:8.2f} ms")
             return dt
 
