@@ -195,6 +195,17 @@ def main():
     if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
         line.update(bench_train())
         print(json.dumps(line), flush=True)
+    # fused sense-plan-refine loop (benchmarks/bench_lc_loop.py refreshes
+    # the recording; reported here so the one-line artifact carries it)
+    lc_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_lc_loop.json")
+    if os.path.isfile(lc_cache):
+        try:
+            for r in json.load(open(lc_cache)):
+                line[f"lc_loop_ms_b{r['batch']}"] = r["lc_loop_ms"]
+            print(json.dumps(line), flush=True)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":
