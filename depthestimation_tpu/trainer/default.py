@@ -175,6 +175,42 @@ class DefaultTrainer:
                        + (" (+real sweep-fusion device)"
                           if self.real_lc is not None else ""))
 
+    def _lc_jitted(self, real: bool):
+        """One jitted closure per LC dispatch path, built lazily.
+
+        lc_process is pure JAX but calling it EAGERLY dispatches the whole
+        5-iteration Bayes loop primitive-by-primitive — ~4 s/frame of host
+        round-trips on the tunneled runtime vs 13.5 ms for the compiled
+        program (benchmarks/bench_lc_loop.py). The LightCurtain / UF /
+        planner configuration is baked in as closure constants."""
+        attr = "_lc_jit_real" if real else "_lc_jit_sim"
+        fn = getattr(self, attr, None)
+        if fn is not None:
+            return fn
+        iters = int(self.cfg.lc.iterations)
+        planner = self.cfg.lc.planner
+        params = dict(self.cfg.lc.params)
+        lc, ufp = self.lc, self.uf_params
+        if real:
+            from depthestimation_tpu.lc.process_real import lc_process_real
+            real_lc = self.real_lc
+
+            def fn(refined, sweep_int, sweep_z, intr, key):
+                out = lc_process_real(
+                    refined, sweep_int, sweep_z, intr, algo_lc=lc,
+                    real_lc=real_lc, uf_params=ufp, iterations=iters,
+                    planner=planner, params=params, key=key)
+                return out[:, :, ::4, ::4]
+        else:
+            def fn(refined, dmaps_up, intr, key):
+                out = lc_process(refined, dmaps_up, intr, lc, ufp,
+                                 iterations=iters, planner=planner,
+                                 params=params, key=key)
+                return out[:, :, ::4, ::4]
+        fn = jax.jit(fn)
+        setattr(self, attr, fn)
+        return fn
+
     def _run_lc(self, refined, model_input, key):
         """plan->sense->fuse on the refined DPV; returns the 1/4-res log DPV
         feedback (the reference's output_lc -> prev_lc path).
@@ -184,26 +220,15 @@ class DefaultTrainer:
         samples the recorded 128-plane sweep (lc_process_real); otherwise it
         senses with the simulator."""
         if self.real_lc is not None and "sweep_arr_tensor" in model_input:
-            from depthestimation_tpu.lc.process_real import lc_process_real
             sweep = jnp.asarray(model_input["sweep_arr_tensor"])
-            out_lc = lc_process_real(
+            return self._lc_jitted(real=True)(
                 refined, sweep[..., 0], sweep[..., 1],
-                jnp.asarray(model_input["intrinsics_up"]),
-                algo_lc=self.lc, real_lc=self.real_lc,
-                uf_params=self.uf_params,
-                iterations=int(self.cfg.lc.iterations),
-                planner=self.cfg.lc.planner,
-                params=dict(self.cfg.lc.params), key=key)
-            return out_lc[:, :, ::4, ::4]
+                jnp.asarray(model_input["intrinsics_up"]), key)
         dmaps_up = np.repeat(np.repeat(np.asarray(model_input["dmaps"]), 4,
                                        axis=-2), 4, axis=-1)
-        out_lc = lc_process(refined, jnp.asarray(dmaps_up),
-                            jnp.asarray(model_input["intrinsics_up"]),
-                            self.lc, self.uf_params,
-                            iterations=int(self.cfg.lc.iterations),
-                            planner=self.cfg.lc.planner,
-                            params=dict(self.cfg.lc.params), key=key)
-        return out_lc[:, :, ::4, ::4]
+        return self._lc_jitted(real=False)(
+            refined, jnp.asarray(dmaps_up),
+            jnp.asarray(model_input["intrinsics_up"]), key)
 
     # -- data prep ------------------------------------------------------------
 
