@@ -131,8 +131,32 @@ class PlannerRuntime:
     def run(self, dpv_r=None, depth_r=None, iterations: int = 1):
         """dpv_r: optional [1, D, H, W] network log-DPV to integrate;
         depth_r: [H, W] true depth (sim sensing). Returns (final_depth,
-        variance_mask) after the fused update (ros_all.py:221-477)."""
+        variance_mask) after the fused update (ros_all.py:221-477).
+
+        The sim path runs as ONE jitted step per (has_dpv, iterations)
+        signature — calling the plan/sense/integrate chain eagerly walks
+        hundreds of primitives through the host per round (the same
+        disease fixed in trainer._run_lc). The real path stays host-driven
+        (serial device I/O between stages)."""
         self.counter += 1
+        if self.mode != "real" and self.planner != "empty":
+            sig = (dpv_r is not None, int(iterations))
+            step = self._sim_steps.get(sig) if hasattr(self, "_sim_steps") \
+                else None
+            if step is None:
+                if not hasattr(self, "_sim_steps"):
+                    self._sim_steps = {}
+                step = jax.jit(lambda final, key, spread, dpv, depth:
+                               self._sim_rounds(final, key, spread, dpv,
+                                                depth, sig[0], sig[1]))
+                self._sim_steps[sig] = step
+            self.key, k = jax.random.split(self.key)
+            self.final, depth, mask = step(
+                self.final, k, jnp.asarray(self.counter < 100),
+                dpv_r if dpv_r is not None else jnp.zeros((), jnp.float32),
+                jnp.asarray(depth_r, jnp.float32))
+            return depth, mask
+
         intr = jnp.asarray(self.real_param["intr_rgb"], jnp.float32)
         d_candi = jnp.asarray(self.algo_lc.d_candi, jnp.float32)
 
@@ -164,20 +188,70 @@ class PlannerRuntime:
             if stream:
                 lc_dpvs = self._sense_real_pipelined(paths)
             else:
-                lc_dpvs = []
-                keys = jax.random.split(k_sense, paths.shape[0])
-                depth_lc = self._depth_lc(depth_r)
-                for p in range(paths.shape[0]):
-                    out_lc, thick_lc = self.real_lc.lightcurtain_large.\
-                        get_return(depth_lc, paths[p], True, key=keys[p])
-                    lc_dpvs.append(self._measurement_dpv(
-                        jnp.nan_to_num(out_lc), jnp.nan_to_num(thick_lc),
-                        # Sim sensing uses std_div=10 regardless of planner
-                        # params (ros_all.py:438).
-                        self.params.get("sim_std_div", 10.0)))
+                lc_dpvs = self._sense_sim(depth_r, paths, k_sense)
             self.integrate(lc_dpvs)
 
         return self.extract_depth()
+
+    def _sense_sim(self, depth_r, paths, k_sense):
+        keys = jax.random.split(k_sense, paths.shape[0])
+        depth_lc = self._depth_lc(depth_r)
+        lc_dpvs = []
+        for p in range(paths.shape[0]):
+            out_lc, thick_lc = self.real_lc.lightcurtain_large.get_return(
+                depth_lc, paths[p], True, key=keys[p])
+            lc_dpvs.append(self._measurement_dpv(
+                jnp.nan_to_num(out_lc), jnp.nan_to_num(thick_lc),
+                # Sim sensing uses std_div=10 regardless of planner
+                # params (ros_all.py:438).
+                self.params.get("sim_std_div", 10.0)))
+        return lc_dpvs
+
+    def _sim_rounds(self, final, key, spread, dpv_r, depth_r,
+                    has_dpv: bool, iterations: int):
+        """Pure jittable body of ``run``'s sim path: (final, key) ->
+        (final', depth, mask). ``spread`` is the traced counter<=100 flag
+        (early-frame spreading, ros_all.py:199-201)."""
+        intr = jnp.asarray(self.real_param["intr_rgb"], jnp.float32)
+        d_candi = jnp.asarray(self.algo_lc.d_candi, jnp.float32)
+
+        def integrate(final, dpvs):
+            curr = jnp.clip(jnp.exp(final), EPS, 1.0)
+            for dpv in dpvs:
+                curr = curr * jnp.clip(dpv, EPS, 1.0)
+                curr = curr / jnp.sum(curr, axis=1, keepdims=True)
+            curr = jnp.where(spread, dpv_ops.spread_dpv(curr, 3), curr)
+            return jnp.log(jnp.clip(curr, EPS, 1.0))
+
+        if has_dpv:
+            up = dpv_ops.upsample_dpv(dpv_r, self.real_lc.expand_A, log=True)
+            final = integrate(final, [jnp.exp(up)])
+
+        for _ in range(iterations):
+            uf, _ = gen_ufield(final[0], d_candi, intr, self.uf_params,
+                               log=True)
+            key, k_plan, k_sense = jax.random.split(key, 3)
+            if self.planner == "default":
+                paths = self.algo_lc.plan_default(
+                    uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
+                    "high", self.params)
+            elif self.planner == "m1":
+                paths = self.algo_lc.plan_m1(
+                    uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
+                    "high", self.params, k_plan)
+            else:
+                paths = self.algo_lc.plan_sweep(
+                    uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
+                    "high", self.params)
+            final = integrate(final, self._sense_sim(depth_r, paths,
+                                                     k_sense))
+
+        z = jnp.exp(final[0])
+        d = jnp.asarray(self.algo_lc.d_candi, z.dtype)[:, None, None]
+        mean = jnp.sum(d * z, axis=0)
+        var = jnp.sum(((d - mean) ** 2) * z, axis=0)
+        mask = (var < 2.0).astype(z.dtype)
+        return final, mean * mask, mask
 
     def _measurement_dpv(self, out_lc, thick_lc, std_div):
         sensed = self.real_lc.transform_measurement(out_lc, thick_lc) \
