@@ -85,9 +85,37 @@ class NetRuntime:
             variables = self._restore(save_root)
         self.variables = variables
 
-        self._forward = jax.jit(
-            lambda v, m: self.model.apply(
-                v, m, train=False, rngs={"lc_drop": jax.random.PRNGKey(0)}))
+        def _fwd_post(v, m):
+            """Forward + ALL per-frame post-processing in one program —
+            the eager resize/normalize/ufield chain was ~10 extra host
+            dispatches per frame on the tunneled runtime."""
+            out = self.model.apply(v, m, train=False,
+                                   rngs={"lc_drop": jax.random.PRNGKey(0)})
+            dpv_refined = out["output_refined"][-1][0]       # [D, H, W] log
+            low = out["output"][-1][0]                       # [D, h, w] log
+            p = jax.image.resize(jnp.exp(dpv_refined)[None],
+                                 (1,) + tuple(low.shape), method="linear")
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            prev_output = jnp.log(jnp.clip(p, 1e-16, 1.0))
+            depth = dpv_ops.dpv_to_depthmap(
+                dpv_refined[None], jnp.asarray(self.d_candi), log=True)[0]
+            uf, _ = gen_ufield(dpv_refined,
+                               jnp.asarray(self.d_candi, jnp.float32),
+                               jnp.asarray(self.intr_up, jnp.float32),
+                               self.uf_params, log=True)
+            return dpv_refined, low, prev_output, depth, uf
+
+        self._forward = jax.jit(_fwd_post)
+
+        def _lc_feedback(final, low):
+            fused = dpv_ops.upsample_dpv(jnp.exp(final), low.shape[0],
+                                         log=False)
+            fused = jax.image.resize(fused, (1,) + tuple(low.shape),
+                                     method="linear")
+            fused = fused / jnp.sum(fused, axis=1, keepdims=True)
+            return jnp.log(jnp.clip(fused, 1e-16, 1.0))
+
+        self._lc_feedback = jax.jit(_lc_feedback)
 
         self.planner_rt = None
         if planner is not None:
@@ -198,36 +226,19 @@ class NetRuntime:
                     else rel_pose)
 
         mi = self._model_input(views, rel_pose)
-        out = self._forward(self.variables, mi)
-        dpv_refined = out["output_refined"][-1][0]           # [D, H, W] log
-        low = out["output"][-1][0]                           # [D, h, w] log
-
         # prev_output feedback: ¼-res refined, detached (ros_net.py:272-277)
-        p = jax.image.resize(jnp.exp(dpv_refined)[None],
-                             (1,) + tuple(low.shape), method="linear")
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        self.prev_output = jnp.log(jnp.clip(p, 1e-16, 1.0))
-
-        depth = dpv_ops.dpv_to_depthmap(dpv_refined[None],
-                                        jnp.asarray(self.d_candi), log=True)[0]
-        uf, _ = gen_ufield(dpv_refined, jnp.asarray(self.d_candi, jnp.float32),
-                           jnp.asarray(self.intr_up, jnp.float32),
-                           self.uf_params, log=True)
+        dpv_refined, low, self.prev_output, depth, uf = self._forward(
+            self.variables, mi)
 
         result = {"depth": depth, "dpv_refined": dpv_refined, "uf": uf,
                   "dpv_low": low}
 
         if self.planner_rt is not None and depth_sense is not None:
-            self.planner_rt.run(dpv_refined[None], depth_sense)
-            lc_depth, mask = self.planner_rt.extract_depth()
+            lc_depth, mask = self.planner_rt.run(dpv_refined[None],
+                                                 depth_sense)
             # fused planner DPV feeds back as prev_lc at low res: depth axis
             # back to D bins, then spatial ¼ (ros_net.py:288-297)
-            fused = dpv_ops.upsample_dpv(jnp.exp(self.planner_rt.final),
-                                         low.shape[0], log=False)
-            fused = jax.image.resize(fused, (1,) + tuple(low.shape),
-                                     method="linear")
-            fused = fused / jnp.sum(fused, axis=1, keepdims=True)
-            self.prev_lc = jnp.log(jnp.clip(fused, 1e-16, 1.0))
+            self.prev_lc = self._lc_feedback(self.planner_rt.final, low)
             result["lc_depth"] = lc_depth
             result["lc_mask"] = mask
         return result

@@ -61,30 +61,43 @@ class SensorSamplingHarness:
         return self.rt.real_lc.gen_lc_dpv_approx(
             sensed, self.rt.params.get("std_div", 5.0))[None]
 
+    def _round(self, final, key, spread):
+        """One jitted plan->sample->integrate round (eager dispatch of the
+        chain costs hundreds of host round-trips per iteration on the
+        tunneled runtime — same fix as PlannerRuntime._sim_rounds)."""
+        intr = jnp.asarray(self.rt.real_param["intr_rgb"], jnp.float32)
+        d_candi = jnp.asarray(self.rt.algo_lc.d_candi, jnp.float32)
+        uf, _ = gen_ufield(final[0], d_candi, intr, self.rt.uf_params,
+                           log=True)
+        if self.rt.planner == "default":
+            paths = self.rt.algo_lc.plan_default(
+                uf, self.rt.algo_lc.planner_large, self.rt.algo_lc.fw_large,
+                "high", self.rt.params)
+        elif self.rt.planner == "m1":
+            paths = self.rt.algo_lc.plan_m1(
+                uf, self.rt.algo_lc.planner_large, self.rt.algo_lc.fw_large,
+                "high", self.rt.params, key)
+        else:
+            paths = self.rt.algo_lc.plan_sweep(
+                uf, self.rt.algo_lc.planner_large, self.rt.algo_lc.fw_large,
+                "high", self.rt.params)
+        curr = jnp.clip(jnp.exp(final), EPS, 1.0)
+        for p in range(paths.shape[0]):
+            curr = curr * jnp.clip(self._sense(paths[p]), EPS, 1.0)
+            curr = curr / jnp.sum(curr, axis=1, keepdims=True)
+        curr = jnp.where(spread, dpv_ops.spread_dpv(curr, 3), curr)
+        return jnp.log(jnp.clip(curr, EPS, 1.0))
+
     def iterate(self, iterations: int = 20) -> list:
         """Returns the UF-error convergence curve (the ros/plots.py metric:
         reference best configs reach ~1.3-1.9 m from ~10.8 m)."""
+        if getattr(self, "_round_jit", None) is None:
+            self._round_jit = jax.jit(self._round)
         scores = []
-        intr = jnp.asarray(self.rt.real_param["intr_rgb"], jnp.float32)
-        d_candi = jnp.asarray(self.rt.algo_lc.d_candi, jnp.float32)
         for _ in range(iterations):
             self.rt.counter += 1
-            uf, _ = gen_ufield(self.rt.final[0], d_candi, intr,
-                               self.rt.uf_params, log=True)
             self.rt.key, k = jax.random.split(self.rt.key)
-            if self.rt.planner == "default":
-                paths = self.rt.algo_lc.plan_default(
-                    uf, self.rt.algo_lc.planner_large, self.rt.algo_lc.fw_large,
-                    "high", self.rt.params)
-            elif self.rt.planner == "m1":
-                paths = self.rt.algo_lc.plan_m1(
-                    uf, self.rt.algo_lc.planner_large, self.rt.algo_lc.fw_large,
-                    "high", self.rt.params, k)
-            else:
-                paths = self.rt.algo_lc.plan_sweep(
-                    uf, self.rt.algo_lc.planner_large, self.rt.algo_lc.fw_large,
-                    "high", self.rt.params)
-            dpvs = [self._sense(paths[p]) for p in range(paths.shape[0])]
-            self.rt.integrate(dpvs)
+            self.rt.final = self._round_jit(
+                self.rt.final, k, jnp.asarray(self.rt.counter < 100))
             scores.append(self.rt.score(self.depth_truth))
         return scores
