@@ -31,9 +31,14 @@ def timeit(fn, x, iters=30):
     from depthestimation_tpu.utils.timing import time_chain
 
     def step(a):
-        y = fn(a)
-        fb = (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(a.dtype)
-        return jnp.roll(a + fb, 1, axis=1)
+        out = fn(a)
+        total = sum(jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree_util.tree_leaves(out))
+        # content-dedupe guard (utils/timing.py): the feedback must SURVIVE
+        # bf16 rounding against O(1) data and must never oscillate with a
+        # short period — a strictly positive O(1e-2) drift does both
+        fb = (0.02 + 0.03 * jnp.abs(jnp.tanh(total * 1e-6))).astype(a.dtype)
+        return jnp.roll(a, 1, axis=1) + fb
 
     dt, _ = time_chain(step, x, iters)
     return dt * 1e3
@@ -54,22 +59,27 @@ def main():
     print(f"fwd max|diff| = {err:.3e}")
     assert err < 1e-2, err
 
-    def vjp_of(fn):
+    def fwd_vjp_of(fn):
+        """Forward + backward together, with the cotangent DERIVED from the
+        chained input so both pullbacks do data-dependent work every
+        iteration (a constant cotangent lets XLA DCE the forward and
+        constant-fold the backward for the pure-XLA path only, biasing the
+        comparison)."""
         def run(a):
-            _, pull = jax.vjp(lambda t: fn(t, D, F), a)
-            return pull(g)[0]
+            y, pull = jax.vjp(lambda t: fn(t, D, F), a)
+            return y, pull(a[..., :F])[0]
         return jax.jit(run)
 
-    ga, gb = vjp_of(tap_combine_xla)(x), vjp_of(tap_combine)(x)
+    (_, ga), (_, gb) = fwd_vjp_of(tap_combine_xla)(x), fwd_vjp_of(tap_combine)(x)
     gerr = float(jnp.max(jnp.abs(ga.astype(jnp.float32)
                                  - gb.astype(jnp.float32))))
     print(f"bwd max|diff| = {gerr:.3e}")
     assert gerr < 1e-2, gerr
 
     mb = (N * H * W * 3 * F * 2 + N * H * W * F * 2) / 1e6
-    for name, fn in (("xla  fwd", f_xla), ("plas fwd", f_pl),
-                     ("xla  vjp", vjp_of(tap_combine_xla)),
-                     ("plas vjp", vjp_of(tap_combine))):
+    for name, fn in (("xla  fwd    ", f_xla), ("plas fwd    ", f_pl),
+                     ("xla  fwd+vjp", fwd_vjp_of(tap_combine_xla)),
+                     ("plas fwd+vjp", fwd_vjp_of(tap_combine))):
         ms = timeit(fn, x)
         print(f"{name}: {ms:7.3f} ms   ({mb / ms:6.1f} GB/s fwd-traffic)")
 

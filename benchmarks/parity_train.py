@@ -13,8 +13,17 @@ term that touches every parameter; the remaining loss terms are identical
 formulas on both sides and are pinned separately by the loss unit tests.
 
 Run:  python benchmarks/parity_train.py [--steps 60]
-Writes benchmarks/parity_train.json; exits non-zero above tolerance
-(final depth-RMSE-vs-GT within 1% between stacks, matching loss curves).
+      python benchmarks/parity_train.py --full --steps 6   # production dims
+Writes benchmarks/parity_train.json (or parity_train_full.json with --full);
+exits non-zero above tolerance (final depth-RMSE-vs-GT within 1% between
+stacks, matching loss curves).
+
+``--full`` runs the comparison at the production regime's dimensions
+(384x256, D=64, fd=64 — trainer/default_trainer.py:105-216) in f32 on the
+gather sweep, pinning that the TRAINING dynamics (not just the forward)
+match at the scale where the real workload runs; the bf16/Pallas production
+path is separately pinned against this f32 math by tests/test_sweep_pallas
+and tests/test_bf16_training.
 """
 
 from __future__ import annotations
@@ -57,9 +66,18 @@ def _ce_loss_torch(out, soft_small, soft_large, mask_small, mask_large):
 
 
 def main():
+    global FD, DB, W, H, BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--full", action="store_true",
+                    help="production dims: 384x256, D=64, fd=64, batch 1")
     args = ap.parse_args()
+    d_min, d_max = 3.0, 18.0
+    out_name = "parity_train.json"
+    if args.full:
+        FD, DB, W, H, BATCH = 64, 64, 384, 256, 1
+        d_min, d_max = 5.0, 40.0       # the k1 training range (BASELINE.md)
+        out_name = "parity_train_full.json"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -80,8 +98,8 @@ def main():
         "data": {"exp_name": "ptrain", "model_name": "base",
                  "loss_name": "base", "trainer_name": "default",
                  "dataset_path": "kitti", "dataset_split": "k1"},
-        "var": {"sigma_soft_max": 10.0, "t_win": 1, "d_min": 3.0,
-                "d_max": 18.0, "feature_dim": FD, "ndepth": DB,
+        "var": {"sigma_soft_max": 10.0, "t_win": 1, "d_min": d_min,
+                "d_max": d_max, "feature_dim": FD, "ndepth": DB,
                 "softce": 0.3, "qpower": 1.0, "img_size": [W, H],
                 "crop_w": W, "nmode": "exp7", "bn_avg": False},
         # CE-only: the one term whose gradient reaches every parameter
@@ -96,7 +114,7 @@ def main():
     batches = []
     for seed in (11, 12):
         mi, gt = synthetic.make_batch(batch=BATCH, t_win=1, h=H, w=W,
-                                      d_min=3.0, d_max=18.0, ndepth=DB,
+                                      d_min=d_min, d_max=d_max, ndepth=DB,
                                       qpower=1.0, seed=seed)
         batches.append((mi, gt))
 
@@ -118,7 +136,7 @@ def main():
                        opt_state=tx.init(variables["params"]))
     step_fn = make_train_step(model, loss_mod, tx, donate=False)
 
-    d_candi = jnp.asarray(powerf(3.0, 18.0, DB, 1.0), jnp.float32)
+    d_candi = jnp.asarray(powerf(d_min, d_max, DB, 1.0), jnp.float32)
 
     def prep(mi, gt):
         mi = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
@@ -222,7 +240,7 @@ def main():
     }
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "parity_train.json")
+                            out_name)
     json.dump(report, open(out_path, "w"), indent=1)
     for k, v in report.items():
         if not k.startswith("loss_curve"):

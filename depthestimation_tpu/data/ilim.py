@@ -16,13 +16,12 @@ from __future__ import annotations
 import json
 import math
 import os
-from functools import lru_cache
-
 import numpy as np
 
 from depthestimation_tpu.data.kitti import (
     IMAGENET_MEAN,
     IMAGENET_STD,
+    _LRU,
     read_split,
 )
 from depthestimation_tpu.data.velodyne import generate_depth, lc_generate
@@ -130,6 +129,8 @@ class IlimVideoDataset:
                 self.drives.append(IlimDrive(cfg.data.dataset_path, date,
                                              drive, self.dataset))
         self.lidar_params = {"filtering": 2, "upsample": 0}
+        # per-instance cache of frozen (read-only) frame dicts (kitti._LRU)
+        self._frame_lru = _LRU(32)
 
     def n_trajectories(self) -> int:
         return len(self.drives)
@@ -137,8 +138,10 @@ class IlimVideoDataset:
     def traj_len(self, i: int) -> int:
         return len(self.drives[i])
 
-    @lru_cache(maxsize=32)
     def _frame_cached(self, i: int, t: int):
+        return self._frame_lru.get((i, t), lambda: self._load_frame(i, t))
+
+    def _load_frame(self, i: int, t: int):
         drive = self.drives[i]
         n_views = self.t_win + 1
         idxs = [max(t - (n_views - 1 - v), 0) for v in range(n_views)]
