@@ -26,33 +26,41 @@ class Base3D(nn.Module):
     bn_avg: bool = False
     dtype: Any = None
     flat: bool = True
+    #: fused Pallas tap-combine for the flat Conv3d path (resolved by
+    #: BaseModelNet; see layers.Conv3d.combine_pallas)
+    combine_pallas: Any = False
+    combine_mesh: Any = None
+    combine_axis: str = "data"
 
     @nn.compact
     def __call__(self, volume, train: bool = True, prob: bool = True):
         b, d, h, w, c = volume.shape
         dep = d if self.flat else None
+        cp = dict(combine_pallas=self.combine_pallas,
+                  combine_mesh=self.combine_mesh,
+                  combine_axis=self.combine_axis)
         x = volume.reshape(b * d, h, w, c) if self.flat else volume
 
         x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                     dtype=self.dtype, depth=dep)(x, train)
+                     dtype=self.dtype, depth=dep, **cp)(x, train)
         x = nn.relu(x)
         x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                     dtype=self.dtype, depth=dep)(x, train)
+                     dtype=self.dtype, depth=dep, **cp)(x, train)
         x = nn.relu(x)
 
         for _ in range(self.dres_count):
             y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                         dtype=self.dtype, depth=dep)(x, train)
+                         dtype=self.dtype, depth=dep, **cp)(x, train)
             y = nn.relu(y)
             y = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                         dtype=self.dtype, depth=dep)(y, train)
+                         dtype=self.dtype, depth=dep, **cp)(y, train)
             x = y + x
 
         x = ConvBN3d(self.feature_dim, 3, 1, 1, self.bn_avg,
-                     dtype=self.dtype, depth=dep)(x, train)
+                     dtype=self.dtype, depth=dep, **cp)(x, train)
         x = nn.relu(x)
         x = Conv3d(1, 3, 1, 1, use_bias=False, dtype=self.dtype,
-                   depth=dep)(x)
+                   depth=dep, **cp)(x)
         x = x.astype(jnp.float32)
         if self.flat:
             x = x.reshape(b, d, h, w)

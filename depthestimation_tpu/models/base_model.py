@@ -69,20 +69,81 @@ class BaseModelNet(nn.Module):
     sweep_dtype: Any = "auto"
     #: run stage 2 of the decomposed sweep as the fused Pallas kernel
     #: (ops/sweep_pallas.py — VMEM-resident depth sweep, no [C, D, H, W]
-    #: HBM intermediates). "auto" = on a SINGLE-device TPU backend when the
-    #: sweep compute dtype is bf16 (the production training config); f32
-    #: keeps the XLA HIGHEST-precision einsums and their exact-at-identity
-    #: contract, and multi-device meshes keep the XLA path, which GSPMD can
-    #: batch-partition (a pallas_call is an opaque custom call — sharding it
-    #: would force an all-gather). True/False force.
+    #: HBM intermediates). "auto" = on a TPU backend when the sweep compute
+    #: dtype is bf16 (the production training config) — single-device
+    #: directly, multi-device through ``jax.shard_map`` over the batch axis
+    #: of ``mesh`` (GSPMD cannot batch-partition an opaque pallas_call; the
+    #: shard_map runs it per-device on the local shard instead). f32 keeps
+    #: the XLA HIGHEST-precision einsums and their exact-at-identity
+    #: contract. True/False force; "interpret" forces the kernel through
+    #: the Pallas interpreter (CPU tests / the multichip dryrun).
     sweep_pallas: Any = "auto"
+    #: jax.sharding.Mesh for the shard_map'd Pallas sweep on multi-device
+    #: backends (set by the trainer / dryrun; factory.get_model(cfg, mesh)).
+    #: None on a single device. Ignored by the XLA paths — GSPMD shards
+    #: those from the input shardings alone.
+    mesh: Any = None
+    #: name of the batch axis of ``mesh``
+    mesh_axis: str = "data"
+
+    def _sweep_mesh(self):
+        """The mesh to shard_map the Pallas sweep over, or None.
+
+        Only a pure data-parallel mesh qualifies: on a 2-D data x model
+        mesh the model axis shards the depth planes, which the Pallas
+        kernel cannot partition — the XLA einsum path (which GSPMD can
+        shard on D) stays in charge there."""
+        m = self.mesh
+        if m is None or m.size <= 1:
+            return None
+        shape = dict(zip(m.axis_names, m.devices.shape))
+        if shape.get(self.mesh_axis, 1) != m.size:
+            return None
+        return m
+
+    #: fuse the flat-Conv3d depth-tap combine into the Pallas kernel
+    #: (ops/combine_pallas.py). "auto" = same gates as the sweep kernel:
+    #: TPU backend + bf16 compute, single device or shard_map'd over the
+    #: data mesh. True/False force; "interpret" for CPU tests/dryrun.
+    combine_pallas: Any = "auto"
+
+    def _resolved_combine_pallas(self):
+        if self.combine_pallas != "auto":
+            return self.combine_pallas
+        if (self.dtype or jnp.float32) != jnp.bfloat16:
+            return False
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+            multi = len(jax.devices()) > 1
+        except Exception:
+            return False
+        return (not multi) or self._sweep_mesh() is not None
 
     def _use_sweep_pallas(self) -> bool:
         if self.sweep_pallas == "auto":
-            return (jax.default_backend() == "tpu"
-                    and len(jax.devices()) == 1
-                    and self._sweep_dtype() == jnp.bfloat16)
+            if self._sweep_dtype() != jnp.bfloat16:
+                return False
+            if jax.default_backend() != "tpu":
+                return False
+            return len(jax.devices()) == 1 or self._sweep_mesh() is not None
         return bool(self.sweep_pallas)
+
+    def sweep_path(self, batch: int) -> str:
+        """Which sweep implementation a ``batch``-item fused forward runs:
+        "pallas" (single device), "pallas+shard_map" (multi-device mesh),
+        "xla-decomposed", or "gather". The dryrun prints this so the driver
+        log shows the flagship kernel riding the mesh."""
+        if self.sweep_impl != "decomposed":
+            return "gather"
+        if not self._use_sweep_pallas():
+            return "xla-decomposed"
+        if len(jax.devices()) > 1:
+            m = self._sweep_mesh()
+            if m is not None and batch % m.size == 0:
+                return "pallas+shard_map"
+            return "xla-decomposed"
+        return "pallas"
     #: block-level rematerialization: the checkpointed blocks recompute their
     #: activations in the backward, so peak HBM = the largest single block
     #: instead of the whole graph. Needed for per-chip batch >= 4 at full
@@ -124,9 +185,14 @@ class BaseModelNet(nn.Module):
         self.conv0_1 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         self.conv0_2 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         if self.nmode in ("exp3", "exp4", "exp6", "exp7", "exp7_lc", "lc"):
+            cp = self._resolved_combine_pallas()
             self.based_3d = b3d_cls(feature_dim=32, dres_count=2,
                                     bn_avg=self.bn_avg, dtype=self.dtype,
-                                    flat=self.conv3d_flat)
+                                    flat=self.conv3d_flat,
+                                    combine_pallas=cp,
+                                    combine_mesh=(self._sweep_mesh()
+                                                  if cp else None),
+                                    combine_axis=self.mesh_axis)
         if self.nmode == "exp8":
             # Structural parity with the reference's exp8 (models.py:477-478):
             # it allocates a second decoder but has NO forward branch —
@@ -200,11 +266,17 @@ class BaseModelNet(nn.Module):
         fa = _nchw(feat_all)
         fr = _nchw(feat_raw)
 
-        if self.sweep_impl == "decomposed" and self._use_sweep_pallas():
+        path = self.sweep_path(fa.shape[0])
+        if path.startswith("pallas"):
+            sweep_mesh = (self._sweep_mesh() if path == "pallas+shard_map"
+                          else None)
+
             def batched(fa_b, fr_b, poses, intr_b):
                 return plane_sweep_and_warp_decomposed_batched(
                     fa_b, fr_b, d_candi, poses, intr_b, self.sigma_soft_max,
-                    dtype=self._sweep_dtype())
+                    dtype=self._sweep_dtype(),
+                    interpret=(self.sweep_pallas == "interpret"),
+                    mesh=sweep_mesh, axis=self.mesh_axis)
 
             if self._remat_mode() != "none":
                 batched = jax.checkpoint(batched)
@@ -232,6 +304,25 @@ class BaseModelNet(nn.Module):
         return jax.vmap(per_item)(fa, fr, model_input["src_cam_poses"],
                                   model_input["intrinsics"],
                                   model_input["unit_ray"])
+
+    def _constrain_dpv(self, cost, warped):
+        """On a 2-D data x model mesh, pin the depth-plane axis of the cost
+        volume / warped features onto the model axis (SURVEY §2.10: D is the
+        natural TP axis — the per-depth banded matmuls and the depth-wise
+        Base3D convs are parallel along D). GSPMD propagates the layout
+        through the rest of the volume pipeline. No-op on 1-D meshes."""
+        m = self.mesh
+        if m is None or "model" not in m.axis_names:
+            return cost, warped
+        if dict(zip(m.axis_names, m.devices.shape)).get("model", 1) <= 1:
+            return cost, warped
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cost = jax.lax.with_sharding_constraint(
+            cost, NamedSharding(m, P("data", "model")))
+        if warped is not None:
+            warped = jax.lax.with_sharding_constraint(
+                warped, NamedSharding(m, P("data", None, "model")))
+        return cost, warped
 
     def _bv_head(self, cost):
         """conv0 stack + log_softmax -> low-res log DPV [B, h, w, D]."""
@@ -267,6 +358,7 @@ class BaseModelNet(nn.Module):
                                                  model_input)
             else:
                 cost = self._cost_volume(feat_all, model_input)
+            cost, warped = self._constrain_dpv(cost, warped)
         else:
             cost = _nchw(feat_all[:, -1, :, :, :-3])
 

@@ -40,11 +40,15 @@ def _resolve_remat(cfg):
         backend = jax.default_backend()
     except Exception:
         n_dev, backend = 1, "cpu"
-    if (int(cfg.train.get("batch_size", 1)) // n_dev) < 4:
+    per_dev_batch = int(cfg.train.get("batch_size", 1)) // n_dev
+    if per_dev_batch < 4:
         return False
     bf16 = cfg.get("tpu", {}).get("dtype", "float32") == "bfloat16"
     tpu_cfg = cfg.get("tpu", {})
-    pallas_sweep = (bf16 and backend == "tpu" and n_dev == 1
+    # multi-device TPU runs the Pallas sweep through shard_map over the
+    # data mesh (base_model._sweep_mesh; the trainer always passes its mesh
+    # to get_model), so the per-DEVICE activation envelope is what matters
+    pallas_sweep = (bf16 and backend == "tpu"
                     and cfg.var.get("sweep_impl", "decomposed") == "decomposed"
                     and tpu_cfg.get("sweep_dtype", "auto") in ("auto",
                                                                "bfloat16")
@@ -52,18 +56,21 @@ def _resolve_remat(cfg):
     if pallas_sweep:
         w = int(cfg.var.get("crop_w") or cfg.var.img_size[0])
         h = int(cfg.var.img_size[1])
-        envelope = (int(cfg.train.get("batch_size", 1))
-                    * int(cfg.var.ndepth) * h * w)
+        envelope = per_dev_batch * int(cfg.var.ndepth) * h * w
         if envelope <= 8 * 64 * 256 * 384:   # measured-fit envelope (B=8)
             return "none"
     return "save3d" if bf16 else "full"
 
 
-def get_model(cfg):
+def get_model(cfg, mesh=None):
+    """``mesh``: the data-parallel jax.sharding.Mesh, needed on multi-device
+    backends for the shard_map'd Pallas sweep (base_model.BaseModelNet.mesh);
+    the XLA paths ignore it (GSPMD shards them from the input shardings)."""
     name = cfg.data.model_name
     dtype = _DTYPES.get(cfg.get("tpu", {}).get("dtype", "float32"))
     if name == "base":
         return BaseModelNet(
+            mesh=mesh,
             feature_dim=cfg.var.feature_dim,
             d=cfg.var.ndepth,
             nmode=cfg.var.nmode,
@@ -76,6 +83,7 @@ def get_model(cfg):
             sweep_dtype=_DTYPES.get(
                 cfg.get("tpu", {}).get("sweep_dtype", "auto"), "auto"),
             sweep_pallas=cfg.get("tpu", {}).get("sweep_pallas", "auto"),
+            combine_pallas=cfg.get("tpu", {}).get("combine_pallas", "auto"),
             remat=_resolve_remat(cfg),
             conv3d_flat=bool(cfg.get("tpu", {}).get("conv3d_flat", True)),
         )

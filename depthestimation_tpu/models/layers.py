@@ -105,6 +105,16 @@ class Conv3d(nn.Module):
     #: conv-friendly layout through the surrounding BN/relu/residual ops
     #: instead of flipping 5D<->4D at every conv boundary.
     depth: int | None = None
+    #: fuse the flat-path tap combine (split + depth shift + edge mask +
+    #: accumulate) into the Pallas kernel ops/combine_pallas.tap_combine —
+    #: XLA's roll+broadcast_select form moves the [N,H,W,3F] taps at
+    #: ~80 GB/s (PROFILE_b8.md). False = XLA; True = compiled kernel;
+    #: "interpret" = Pallas interpreter (CPU tests). Resolved by
+    #: BaseModelNet (backend/dtype/mesh gates live there).
+    combine_pallas: Any = False
+    #: mesh/axis for the kernel's shard_map on multi-device backends
+    combine_mesh: Any = None
+    combine_axis: str = "data"
 
     @nn.compact
     def __call__(self, x):
@@ -136,6 +146,16 @@ class Conv3d(nn.Module):
                 tcat = jax.lax.conv_general_dilated(
                     x, kcat, (1, 1), ((p, p), (p, p)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if self.combine_pallas and k == 3 and self.features >= 8:
+                    from depthestimation_tpu.ops.combine_pallas import \
+                        tap_combine
+                    y = tap_combine(
+                        tcat, d, self.features,
+                        self.combine_pallas == "interpret",
+                        self.combine_mesh, self.combine_axis)
+                    if bias is not None:
+                        y = y + bias
+                    return y
                 taps = [tcat[..., i * self.features:(i + 1) * self.features]
                         for i in range(k)]
             else:
@@ -377,11 +397,17 @@ class ConvBN3d(nn.Module):
     bn_running_avg: bool = False
     dtype: Any = None
     depth: int | None = None
+    combine_pallas: Any = False
+    combine_mesh: Any = None
+    combine_axis: str = "data"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv3d(self.features, self.kernel_size, self.stride, self.pad,
-                   use_bias=False, dtype=self.dtype, depth=self.depth)(x)
+                   use_bias=False, dtype=self.dtype, depth=self.depth,
+                   combine_pallas=self.combine_pallas,
+                   combine_mesh=self.combine_mesh,
+                   combine_axis=self.combine_axis)(x)
         return BatchNorm(self.bn_running_avg)(x, train)
 
 

@@ -60,7 +60,7 @@ def _kernel(x_ref, m_ref, o_ref):
     o_ref[:, 0] = y.reshape(d, w, -1).astype(o_ref.dtype)
 
 
-def _call(x, mats, depth: int, interpret: bool):
+def _call_local(x, mats, depth: int, interpret: bool):
     n, h, w, cin = x.shape
     cout = mats.shape[-1]
     b = n // depth
@@ -81,11 +81,33 @@ def _call(x, mats, depth: int, interpret: bool):
     )(x, mats)
 
 
+def _call(x, mats, depth: int, interpret: bool, mesh=None, axis="data"):
+    """``mesh``: shard_map the kernel over the batch-item rows (axis 0) of
+    ``mesh``'s ``axis`` dimension — GSPMD cannot batch-partition an opaque
+    pallas_call (same contract as ops/plane_sweep.py's batched sweep). The
+    D-major flattening keeps every item's depth column inside one shard, so
+    the per-block edge masking needs no cross-device halo."""
+    n_shards = (dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+                if mesh is not None else 1)
+    items = x.shape[0] // depth
+    if n_shards > 1 and items % n_shards == 0:
+        from jax.sharding import PartitionSpec as P
+        run = jax.shard_map(
+            lambda x_, m_: _call_local(x_, m_, depth, interpret),
+            mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+            check_vma=False)
+        return run(x, mats)
+    return _call_local(x, mats, depth, interpret)
+
+
 @functools.lru_cache(maxsize=8)
-def _sel_mats(f: int, dtype_name: str):
+def _sel_mats_np(f: int):
     """[3, 3F, F] one-hot tap selectors (fwd) and [3, F, 3F] adjoints.
 
-    Built in f32 numpy (numpy has no bfloat16) and cast on device."""
+    Cached as NUMPY arrays only: caching jnp arrays would capture the
+    tracer when the first call happens inside a jit/custom_vjp trace and
+    leak it into later traces (UnexpectedTracerError). The jnp.asarray
+    conversion happens per call site — it constant-folds under jit."""
     eye = np.eye(f, dtype=np.float32)
     fwd = np.zeros((3, 3 * f, f), dtype=np.float32)
     bwd = np.zeros((3, f, 3 * f), dtype=np.float32)
@@ -96,33 +118,41 @@ def _sel_mats(f: int, dtype_name: str):
     bwd[0, :, 2 * f:] = eye            # up(g) -> tap 2 lanes
     bwd[1, :, f:2 * f] = eye           # g     -> tap 1 lanes
     bwd[2, :, :f] = eye                # dn(g) -> tap 0 lanes
+    return fwd, bwd
+
+
+def _sel_mats(f: int, dtype_name: str):
+    fwd, bwd = _sel_mats_np(f)
     dt = jnp.dtype(dtype_name)
     return jnp.asarray(fwd, dt), jnp.asarray(bwd, dt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def tap_combine(tcat, depth: int, features: int, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def tap_combine(tcat, depth: int, features: int, interpret: bool = False,
+                mesh=None, axis: str = "data"):
     """Fused depth-tap combine of a stacked flat-Conv3d output.
 
     Args:
       tcat: [N, H, W, 3F] stacked tap conv output, N = B*depth (D-major).
       depth: D — rows per batch item.
       features: F — output channels per tap.
+      mesh/axis: optional jax.sharding.Mesh whose ``axis`` shards the batch
+        items — the kernel runs per-device under shard_map (see _call).
 
     Returns y [N, H, W, F] with y[n] = t1[n] + t0[n-1] + t2[n+1], taps
     zeroed across batch-item depth edges.
     """
     fwd_m, _ = _sel_mats(features, jnp.dtype(tcat.dtype).name)
-    return _call(tcat, fwd_m, depth, interpret)
+    return _call(tcat, fwd_m, depth, interpret, mesh, axis)
 
 
-def _fwd(tcat, depth, features, interpret):
-    return tap_combine(tcat, depth, features, interpret), None
+def _fwd(tcat, depth, features, interpret, mesh, axis):
+    return tap_combine(tcat, depth, features, interpret, mesh, axis), None
 
 
-def _bwd(depth, features, interpret, _, g):
+def _bwd(depth, features, interpret, mesh, axis, _, g):
     _, bwd_m = _sel_mats(features, jnp.dtype(g.dtype).name)
-    return (_call(g, bwd_m, depth, interpret),)
+    return (_call(g, bwd_m, depth, interpret, mesh, axis),)
 
 
 tap_combine.defvjp(_fwd, _bwd)

@@ -318,7 +318,8 @@ def plane_sweep_and_warp_decomposed_batched(feat_all, feat_raw, d_candi,
                                             poses, intr, sigma: float,
                                             dtype=jnp.float32,
                                             use_pallas: bool = True,
-                                            interpret: bool = False):
+                                            interpret: bool = False,
+                                            mesh=None, axis: str = "data"):
     """Whole-batch fused decomposed sweep, stage 2 on the Pallas kernel.
 
     Same math as vmapping :func:`plane_sweep_and_warp_decomposed` over the
@@ -334,10 +335,17 @@ def plane_sweep_and_warp_decomposed_batched(feat_all, feat_raw, d_candi,
     ``use_pallas=False`` falls back to the per-item XLA path (used on CPU,
     where the compiled kernel is unavailable; ``interpret=True`` runs the
     kernel through the Pallas interpreter instead — tests only).
+
+    ``mesh``: a ``jax.sharding.Mesh`` whose ``axis`` dimension shards the
+    batch. GSPMD cannot batch-partition a ``pallas_call`` (it is an opaque
+    custom call — it would all-gather the inputs instead), so on a
+    multi-device mesh the whole function runs under ``jax.shard_map`` over
+    the batch axis: every device executes the kernel on its LOCAL batch
+    shard, with no collectives (the sweep is per-item math). Requires
+    B % mesh.shape[axis] == 0; the reference's production workload is
+    batch-data-parallel the same way (trainer/base_trainer.py:115-117).
     """
     b, t, c1, h, w = feat_all.shape
-    v = t - 1
-    d = feat_raw.shape[2]
     rots = poses[..., :3, :3]
     tras = poses[..., :3, 3]
 
@@ -347,6 +355,33 @@ def plane_sweep_and_warp_decomposed_batched(feat_all, feat_raw, d_candi,
                 fa_i, fr_i, d_candi, rot_i, tra_i, intr_i, None, sigma,
                 dtype=dtype)
         return jax.vmap(per_item)(feat_all, feat_raw, rots, tras, intr)
+
+    def run(fa_b, fr_b, d_c, poses_b, intr_b):
+        return _pallas_sweep_local(fa_b, fr_b, d_c, poses_b, intr_b, sigma,
+                                   dtype, interpret)
+
+    n_shards = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1) \
+        if mesh is not None else 1
+    if n_shards > 1 and b % n_shards == 0:
+        from jax.sharding import PartitionSpec as P
+        spec = P(axis)
+        # check_vma=False: pallas_call's ShapeDtypeStructs carry no
+        # varying-mesh-axes annotation; the body is per-item math with no
+        # collectives, so there is nothing for the checker to verify anyway
+        run = jax.shard_map(run, mesh=mesh,
+                            in_specs=(spec, spec, P(), spec, spec),
+                            out_specs=(spec, spec), check_vma=False)
+    return run(feat_all, feat_raw, jnp.asarray(d_candi), poses, intr)
+
+
+def _pallas_sweep_local(feat_all, feat_raw, d_candi, poses, intr,
+                        sigma: float, dtype, interpret: bool):
+    """Single-shard body of the batched Pallas sweep (see above)."""
+    b, t, c1, h, w = feat_all.shape
+    v = t - 1
+    d = feat_raw.shape[2]
+    rots = poses[..., :3, :3]
+    tras = poses[..., :3, 3]
 
     from depthestimation_tpu.ops.sweep_pallas import sweep_stage2
 

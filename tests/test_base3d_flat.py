@@ -60,3 +60,31 @@ def test_flat_depth_edges_zero_padded():
     o4 = m4.apply(params, vol, True, False)
     np.testing.assert_allclose(np.asarray(o4), np.asarray(o5),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flat_combine_pallas_matches_xla():
+    """combine_pallas="interpret" (the fused tap-combine kernel) must match
+    the XLA roll+mask form through a full Base3D forward + grad at a shape
+    that reaches the stacked-conv branch (rows >= 192)."""
+    rs = np.random.RandomState(2)
+    vol = jnp.asarray(rs.randn(2, 96, 4, 8, 5), jnp.float32)
+
+    m_x = Base3D(feature_dim=8, dres_count=1, bn_avg=False, flat=True)
+    m_p = Base3D(feature_dim=8, dres_count=1, bn_avg=False, flat=True,
+                 combine_pallas="interpret")
+    params = m_x.init(jax.random.PRNGKey(3), vol, True, True)
+
+    o_x = m_x.apply(params, vol, True, True)
+    o_p = m_p.apply(params, vol, True, True)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, vol, True, False) ** 2)
+
+    g_x = jax.grad(loss(m_x))(params)
+    g_p = jax.grad(loss(m_p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

@@ -68,3 +68,26 @@ def test_tap_combine_vjp_matches_xla(b, d, h, w, f):
     np.testing.assert_allclose(np.asarray(pull_pl(g)[0]),
                                np.asarray(pull_xla(g)[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tap_combine_shard_map_matches():
+    """mesh-sharded kernel (8 CPU devices, interpret) == unsharded: the
+    D-major flattening keeps each item's depth column inside one shard, so
+    sharding the items changes placement only."""
+    from depthestimation_tpu.parallel import mesh as mesh_lib
+
+    b, d, h, w, f = 8, 4, 3, 8, 8
+    mesh = mesh_lib.make_mesh(8)
+    x = _rand((b * d, h, w, 3 * f))
+    y_1 = tap_combine(x, d, f, True)
+    y_8 = jax.jit(lambda t: tap_combine(t, d, f, True, mesh))(x)
+    np.testing.assert_allclose(np.asarray(y_8), np.asarray(y_1),
+                               rtol=1e-6, atol=1e-6)
+
+    g = _rand((b * d, h, w, f), seed=3)
+    _, pull_1 = jax.vjp(lambda t: tap_combine(t, d, f, True), x)
+    _, pull_8 = jax.vjp(
+        lambda t: tap_combine(t, d, f, True, mesh), x)
+    np.testing.assert_allclose(np.asarray(pull_8(g)[0]),
+                               np.asarray(pull_1(g)[0]),
+                               rtol=1e-6, atol=1e-6)

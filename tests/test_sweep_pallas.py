@@ -41,6 +41,7 @@ def _setup(b=2, t=3, c1=7, h=8, w=12, d=16, seed=0):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.slow
 def test_forward_matches_xla(dtype):
     fa, fr, d_candi, poses, intr = _setup()
     cost_x, warp_x = plane_sweep_and_warp_decomposed_batched(
@@ -72,6 +73,59 @@ def test_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_shard_map_matches_single_device():
+    """The shard_map'd multi-device path (mesh=8 CPU devices, interpret
+    kernel) must reproduce the unsharded path bit-for-math: the sweep is
+    per-item work, so sharding the batch changes nothing but placement."""
+    from depthestimation_tpu.parallel import mesh as mesh_lib
+
+    fa, fr, d_candi, poses, intr = _setup(b=8)
+    mesh = mesh_lib.make_mesh(8)
+
+    cost_1, warp_1 = plane_sweep_and_warp_decomposed_batched(
+        fa, fr, d_candi, poses, intr, 10.0, use_pallas=False, interpret=True)
+
+    batch = {"fa": fa, "fr": fr, "poses": poses, "intr": intr}
+    batch = mesh_lib.shard_batch(batch, mesh)
+
+    @jax.jit
+    def run(b_):
+        return plane_sweep_and_warp_decomposed_batched(
+            b_["fa"], b_["fr"], d_candi, b_["poses"], b_["intr"], 10.0,
+            use_pallas=False, interpret=True, mesh=mesh)
+
+    cost_8, warp_8 = run(batch)
+    np.testing.assert_allclose(np.asarray(cost_8), np.asarray(cost_1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(warp_8), np.asarray(warp_1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shard_map_gradients_match():
+    from depthestimation_tpu.parallel import mesh as mesh_lib
+
+    fa, fr, d_candi, poses, intr = _setup(b=8)
+    mesh = mesh_lib.make_mesh(8)
+    kc = jnp.asarray(np.random.RandomState(1).randn(
+        *(fa.shape[0], fr.shape[2], fa.shape[3], fa.shape[4])).astype(
+            np.float32))
+
+    def loss(fa_, fr_, m):
+        cost, warp = plane_sweep_and_warp_decomposed_batched(
+            fa_, fr_, d_candi, poses, intr, 10.0, use_pallas=False,
+            interpret=True, mesh=m)
+        return jnp.sum(cost * kc) + jnp.sum(jnp.sin(warp))
+
+    g1 = jax.grad(loss, argnums=(0, 1))(fa, fr, None)
+    g8 = jax.jit(jax.grad(lambda a, b: loss(a, b, mesh),
+                          argnums=(0, 1)))(fa, fr)
+    np.testing.assert_allclose(np.asarray(g8[0]), np.asarray(g1[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g8[1]), np.asarray(g1[1]),
                                rtol=1e-4, atol=1e-4)
 
 
