@@ -127,7 +127,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--configs", nargs="*",
-                    default=["default", "default_128_3modes", "m1", "sweep"])
+                    default=["default", "default_128_3modes", "m1", "sweep",
+                             "sweep_sparse4"])
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "uf_convergence_curves.json"))
@@ -141,6 +142,12 @@ def main():
                                128),
         "m1": ("m1", {"step": 3, "interval": 15, "std_div": 3.0}, 64),
         "sweep": ("sweep", {"start": 4.0, "end": 17.0, "step": 0.25}, 64),
+        # 4 curtains/round instead of 52: the full sweep saturates the whole
+        # volume in ONE round (0.68 m after iter 1) and cannot detect a
+        # sensing regression — the sparse variant needs several rounds, so
+        # its curve actually exercises plan->sense->integrate over time
+        "sweep_sparse4": ("sweep", {"start": 4.0, "end": 17.0, "step": 3.25},
+                          64),
     }
     refs = {"default": REF_DEFAULT, "default_128_3modes": REF_128_3MODES,
             "m1": REF_M1}

@@ -235,25 +235,33 @@ class LightCurtain:
 
             r_bins, c_bins = fr.shape
             interval = int(cfg.get("interval", 1))
-            work = jnp.nan_to_num(fr, nan=1e-5)
+            # every iteration samples from and fuses with the ORIGINAL
+            # field — the reference takes a fresh copy of
+            # field_preprocessed_range inside its loop
+            # (light_curtain.py:573-575), so its `step` curtains are
+            # INDEPENDENT draws. Chaining the refined field instead (the
+            # pre-round-4 form) correlates successive curtains around the
+            # first sample and starves early high-entropy rounds of
+            # exploration (m1 converged 2-3 iterations late in the
+            # plots.py ablation).
+            base = jnp.nan_to_num(fr, nan=1e-5)
+            logits = jnp.log(jnp.clip(base.T, 1e-12, None))       # [C, R]
+            rows = jnp.arange(r_bins, dtype=jnp.float32)[:, None]
             k = key
             for i in range(int(cfg["step"])):
                 k, sub = jax.random.split(k)
-                logits = jnp.log(jnp.clip(work.T, 1e-12, None))   # [C, R]
                 sampled = jax.random.categorical(sub, logits)     # [C]
                 ctrl_cols = jnp.arange(0, c_bins, interval)
                 curve = jnp.interp(jnp.arange(c_bins, dtype=jnp.float32),
                                    ctrl_cols.astype(jnp.float32),
                                    sampled[ctrl_cols].astype(jnp.float32))
                 curve = _gaussian_blur_1d(curve[None], 2.0, axis=1)[0]
-                rows = jnp.arange(r_bins, dtype=jnp.float32)[:, None]
                 attract = jnp.exp(-((rows - curve[None, :]) ** 2)
                                   / (2 * 1.5**2))
                 attract = attract / jnp.sum(attract, axis=0, keepdims=True)
-                mult = work * attract
-                work = jnp.nan_to_num(mult / jnp.sum(mult, axis=0,
-                                                     keepdims=True))
-                yield work
+                mult = base * attract
+                yield jnp.nan_to_num(mult / jnp.sum(mult, axis=0,
+                                                    keepdims=True))
 
         if yield_mode:
             return (planner.get_design_points(f) for f in fields_iter())
