@@ -51,11 +51,17 @@ def roundtrip_s(tree, samples: int = 3) -> float:
     return best
 
 
-def time_chain(step, state, iters: int, warmup: int = 3):
+def time_chain(step, state, iters: int, warmup: int = 3, repeats: int = 3):
     """Time ``state = step(state)`` loops with a readback barrier.
 
     Returns (seconds_per_iter, final_state). ``step`` must return a
     value whose content changes every call (see module docstring).
+
+    Runs ``repeats`` independent timing windows of ``iters`` each and
+    returns the FASTEST window: the tunnel injects occasional multi-ms
+    host hiccups, and the minimum over windows is the stable estimator
+    of device time (single-window numbers moved ~2% between identical
+    runs).
     """
     state = step(state)
     readback(state)
@@ -63,9 +69,12 @@ def time_chain(step, state, iters: int, warmup: int = 3):
         state = step(state)
     readback(state)
     rtt = roundtrip_s(state)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state = step(state)
-    readback(state)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
-    return dt, state
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = step(state)
+        readback(state)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+        best = min(best, dt)
+    return best, state
