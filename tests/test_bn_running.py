@@ -15,8 +15,10 @@ from depthestimation_tpu.parallel.train_step import (
 )
 from depthestimation_tpu.trainer.default import _soft_labels
 from tests.test_models import BASE_CFG, _inputs
+import pytest
 
 
+@pytest.mark.slow
 def test_batch_stats_update_and_eval_use():
     cfg = config_from_dict(BASE_CFG)
     cfg.var.bn_avg = True

@@ -6,11 +6,13 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 CONFIG = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "configs", "test_tiny.json")
 
 
+@pytest.mark.slow
 def test_train_then_eval_cli_roundtrip(tmp_path, monkeypatch):
     import train as train_cli
 

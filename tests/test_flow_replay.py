@@ -7,8 +7,10 @@ import numpy as np
 from depthestimation_tpu.config import config_from_dict
 from depthestimation_tpu.losses.flow_loss import UnFlowLoss
 from depthestimation_tpu.models.pwclite import PWCLite
+import pytest
 
 
+@pytest.mark.slow
 def test_unflow_loss_differentiable():
     cfg = config_from_dict({
         "data": {"exp_name": "f", "model_name": "pwclite", "loss_name": "flow",

@@ -43,6 +43,7 @@ def sensor_json(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_lc_nmode_trains_with_recorded_sweep(tmp_path, sensor_json):
     cfg = config_from_dict({
         "data": {"exp_name": "lc_fusion", "model_name": "base",

@@ -80,6 +80,7 @@ def test_default_model():
     assert out["output_refined"][-1].shape == (2, 32, 64, 96)
 
 
+@pytest.mark.slow
 def test_base_loss_finite_and_positive():
     cfg, model = _make("exp7")
     mi, gt = _inputs()
@@ -92,6 +93,7 @@ def test_base_loss_finite_and_positive():
     assert float(loss) > 0
 
 
+@pytest.mark.slow
 def test_loss_differentiable():
     cfg, model = _make("exp7")
     mi, gt = _inputs()

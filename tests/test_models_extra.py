@@ -8,6 +8,7 @@ from depthestimation_tpu.models.packnet import PackNetModel
 from depthestimation_tpu.models.pwclite import PWCLite, flow_warp
 from depthestimation_tpu.models.sweep import SweepModel
 from depthestimation_tpu.ops.correlation import correlation
+import pytest
 
 
 def test_correlation_matches_reference_math():
@@ -53,6 +54,7 @@ def test_sweep_model_shapes_and_ranges():
     assert ps.min() >= 0.1 and ps.max() <= 4.1
 
 
+@pytest.mark.slow
 def test_packnet_forward():
     from depthestimation_tpu.data import synthetic
     mi, _ = synthetic.make_batch(batch=1, h=64, w=96, ndepth=64, seed=3)

@@ -108,6 +108,7 @@ def test_net_runtime_checkpoint_roundtrip_and_planner_loop(tmp_path):
     assert rt.prev_output is None and rt.prev_lc is None
 
 
+@pytest.mark.slow
 def test_net_runtime_stereo_mode():
     from depthestimation_tpu.models import get_model
     from depthestimation_tpu.runtime.net_runtime import NetRuntime

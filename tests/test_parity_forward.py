@@ -6,8 +6,10 @@ import subprocess
 import sys
 import os
 import json
+import pytest
 
 
+@pytest.mark.slow
 def test_forward_parity_small():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run([sys.executable,

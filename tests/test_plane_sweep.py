@@ -3,6 +3,7 @@ import numpy as np
 
 from depthestimation_tpu import ops
 from depthestimation_tpu.ops import geometry
+import pytest
 
 
 def _setup(h=16, w=24, c=5, d=8):
@@ -140,6 +141,7 @@ def test_decomposed_rotation_interior_bounded():
     assert interior.mean() / (np.abs(np.asarray(c_g)).mean() + 1e-9) < 0.08
 
 
+@pytest.mark.slow
 def test_decomposed_gradients_match_gather_identity_rotation():
     """The decomposed path's BACKWARD (matmul transposes) produces the same
     input gradients as the gather path's (scatter-add transpose) for pure

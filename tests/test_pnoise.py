@@ -13,6 +13,7 @@ from depthestimation_tpu.models import get_model
 from depthestimation_tpu.ops.geometry import add_noise_to_pose
 from depthestimation_tpu.trainer import get_trainer
 from depthestimation_tpu.utils.logger import init_logger
+import pytest
 
 
 def test_add_noise_to_pose_properties():
@@ -47,6 +48,7 @@ def _cfg(pnoise):
     })
 
 
+@pytest.mark.slow
 def test_pnoise_wired_into_training(tmp_path, monkeypatch):
     cfg = _cfg(0.3)
     ds = SyntheticStereoVideoDataset(n_traj=2, traj_len=2, h=32, w=48,

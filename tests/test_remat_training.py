@@ -11,8 +11,10 @@ from depthestimation_tpu.models import get_model
 from depthestimation_tpu.ops.dpv import powerf
 from depthestimation_tpu.parallel.train_step import init_state, make_train_step
 from depthestimation_tpu.trainer.default import _soft_labels
+import pytest
 
 
+@pytest.mark.slow
 def test_remat_matches_plain_step():
     from __graft_entry__ import _cfg, _sample_input
 

@@ -13,8 +13,10 @@ from depthestimation_tpu.models import get_model
 from depthestimation_tpu.models.rollout import make_rollout
 from tests.test_models import BASE_CFG
 from depthestimation_tpu.config import config_from_dict
+import pytest
 
 
+@pytest.mark.slow
 def test_rollout_matches_python_loop():
     cfg = config_from_dict(BASE_CFG)
     cfg.var.nmode = "exp7"

@@ -12,6 +12,7 @@ from depthestimation_tpu.losses import get_loss
 from depthestimation_tpu.models import get_model
 from depthestimation_tpu.trainer import get_trainer
 from depthestimation_tpu.utils.logger import init_logger
+import pytest
 
 
 def _cfg(scan_eval):
@@ -50,6 +51,7 @@ def _eval_once(cfg, tmp_path, chunk_len=None):
     return dict(zip(keys, values))
 
 
+@pytest.mark.slow
 def test_scan_eval_matches_per_frame(tmp_path):
     m_scan = _eval_once(_cfg(True), tmp_path / "scan")
     m_loop = _eval_once(_cfg(False), tmp_path / "loop")
@@ -58,6 +60,7 @@ def test_scan_eval_matches_per_frame(tmp_path):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_scan_eval_chunking_invariant(tmp_path):
     """A chunk boundary mid-trajectory must not change the metrics (the
     carry crosses flushes on device)."""

@@ -83,6 +83,7 @@ def test_affine_identity_and_flow_transform():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sintel_trainer_loss_decreases_and_ckpt(tmp_path):
     cfg = _cfg("sintel", epoch_size=6, n_epoch=2)
     tr = _make(SintelTrainer, cfg, tmp_path, n_train=6)
@@ -110,6 +111,7 @@ def test_sintel_trainer_loss_decreases_and_ckpt(tmp_path):
     assert (tmp_path / "t_sintel_model_best").exists()
 
 
+@pytest.mark.slow
 def test_sintel_trainer_epe_beats_zero_init_baseline(tmp_path):
     cfg = _cfg("sintel", epoch_size=4)
     tr = _make(SintelTrainer, cfg, tmp_path)
@@ -120,6 +122,7 @@ def test_sintel_trainer_epe_beats_zero_init_baseline(tmp_path):
     assert np.isfinite(epe) and epe < 32.0
 
 
+@pytest.mark.slow
 def test_sintel_ar_terms_finite_and_applied(tmp_path):
     cfg = _cfg("sintel_ar", epoch_size=2, run_atst=True, run_ot=True)
     tr = _make(SintelARTrainer, cfg, tmp_path)
@@ -139,6 +142,7 @@ def test_sintel_ar_terms_finite_and_applied(tmp_path):
     assert terms_seen["l_atst"] > 0.0 and terms_seen["l_ot"] > 0.0
 
 
+@pytest.mark.slow
 def test_stage1_swaps_loss_weights(tmp_path):
     cfg = _cfg("sintel", epoch_size=1, n_epoch=1)
     cfg["stage1"] = Config({"epoch": 0,

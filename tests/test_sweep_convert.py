@@ -67,6 +67,7 @@ def _make_capture(root):
     return drive
 
 
+@pytest.mark.slow
 def test_sweep_convert_end_to_end(tmp_path):
     drive = _make_capture(str(tmp_path))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
