@@ -39,10 +39,46 @@ def _tpu_peak_flops(device) -> float | None:
     return None
 
 
+def _make_lc_fn(cfg, mi):
+    """The trainer's fused in-step LC closure (trainer/default.py
+    _fused_lc_fn) rebuilt from a sample input: one stacked 2B-batch
+    plan->sense->Bayes loop on the stop-gradient refined DPVs, at the
+    production setting (iterations=5, default planner)."""
+    import jax.numpy as jnp
+
+    from depthestimation_tpu.lc.curtain import LightCurtain
+    from depthestimation_tpu.lc.process import lc_process
+    from depthestimation_tpu.ops import ufield as ufield_ops
+
+    lc = LightCurtain()
+    params = lc.gen_params_from_model_input(mi)
+    params = lc.expand_params(params, cfg, cfg.var.ndepth,
+                              cfg.var.ndepth * 2)
+    lc.init(params)
+    ufp = ufield_ops.UFieldParams.for_dataset("kitti")
+    iters, planner = 5, "default"
+    lc_params = {"step": [0.5], "spread_iter": 2, "spread_n": 5}
+
+    def lc_fn(refined_l, refined_r, mi_l, mi_r, key):
+        refined = jnp.concatenate([refined_l, refined_r], axis=0)
+        dmaps = jnp.concatenate([mi_l["dmaps"], mi_r["dmaps"]], axis=0)
+        dmaps_up = jnp.repeat(jnp.repeat(dmaps, 4, axis=-2), 4, axis=-1)
+        intr = jnp.concatenate([mi_l["intrinsics_up"],
+                                mi_r["intrinsics_up"]], axis=0)
+        out = lc_process(refined, dmaps_up, intr, lc, ufp,
+                         iterations=iters, planner=planner,
+                         params=lc_params, key=key)[:, :, ::4, ::4]
+        b = refined_l.shape[0]
+        return out[:b], out[b:]
+
+    return lc_fn
+
+
 def bench_train_step(batch: int, iters: int, warmup: int = 2,
                      dtype: str | None = None, remat: str | None = None,
                      conv3d_flat: bool | None = None,
-                     with_cost: bool = False, repeats: int = 3) -> dict:
+                     with_cost: bool = False, repeats: int = 3,
+                     with_lc: bool = False) -> dict:
     from depthestimation_tpu.utils.compile_cache import enable as _cc
     _cc()
 
@@ -56,11 +92,14 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
         init_state, make_train_step)
     from depthestimation_tpu.trainer.default import _soft_labels
 
-    cfg = _cfg(batch=batch, nmode="exp7")
+    cfg = _cfg(batch=batch, nmode="exp7_lc" if with_lc else "exp7")
     # production TPU training config: bf16 conv compute (params/optimizer
     # f32; convergence + parity pinned in tests), remat auto -> save3d at
     # batch >= 4. Override with --dtype float32 / --remat for ablations.
     cfg["tpu"]["dtype"] = dtype or "bfloat16"
+    if os.environ.get("BENCH_COMBINE_PALLAS"):          # A/B ablation hook
+        cfg["tpu"]["combine_pallas"] = (
+            os.environ["BENCH_COMBINE_PALLAS"] == "on")
     if remat:
         cfg["tpu"]["remat"] = remat
     if conv3d_flat is not None:
@@ -70,7 +109,8 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
     mi, gt = _sample_input(cfg, batch=batch)
 
     state, tx = init_state(model, cfg, mi, jax.random.PRNGKey(0))
-    step = make_train_step(model, loss, tx, donate=True)
+    step = make_train_step(model, loss, tx, donate=True,
+                           lc_fn=_make_lc_fn(cfg, mi) if with_lc else None)
 
     mi = {k: v for k, v in mi.items() if k not in ("prev_output", "prev_lc")}
     mi["prev_output"] = None
@@ -153,6 +193,10 @@ def main():
                     help="Base3D layout ablation (default: config/on)")
     ap.add_argument("--cost", action="store_true",
                     help="report XLA-cost-analysis FLOPs + MFU")
+    ap.add_argument("--lc", action="store_true",
+                    help="exp7_lc with the fused in-step LC loop "
+                         "(plan->sense->Bayes, iterations=5) — the "
+                         "production LC-training step")
     ap.add_argument("--no-save", action="store_true",
                     help="don't overwrite benchmarks/bench_train.json")
     args = ap.parse_args()
@@ -163,9 +207,10 @@ def main():
                              remat=args.remat,
                              conv3d_flat=(None if args.conv3d_flat is None
                                           else args.conv3d_flat == "on"),
-                             with_cost=args.cost)
+                             with_cost=args.cost, with_lc=args.lc)
         results.append(r)
-        print(json.dumps({"metric": f"train_step_b{b}_kitti_384x256_d64",
+        tag = "_lc" if args.lc else ""
+        print(json.dumps({"metric": f"train_step{tag}_b{b}_kitti_384x256_d64",
                           "value": r["frames_per_sec"],
                           "unit": "frames/sec", **{k: v for k, v in r.items()
                                                    if k not in ("batch",
@@ -174,10 +219,13 @@ def main():
 
     # only production-config runs update the committed json (ablation
     # overrides would silently replace the headline rows)
-    ablation = (args.dtype or args.remat or args.conv3d_flat is not None)
+    ablation = (args.dtype or args.remat or args.conv3d_flat is not None
+                or os.environ.get("BENCH_COMBINE_PALLAS"))
     if not args.no_save and not ablation:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks", "bench_train.json")
+                           "benchmarks",
+                           "bench_train_lc.json" if args.lc
+                           else "bench_train.json")
         # merge by batch so partial runs refresh rows instead of dropping
         # the batches not measured this invocation
         merged = {}

@@ -145,9 +145,12 @@ def main():
         # 4 curtains/round instead of 52: the full sweep saturates the whole
         # volume in ONE round (0.68 m after iter 1) and cannot detect a
         # sensing regression — the sparse variant needs several rounds, so
-        # its curve actually exercises plan->sense->integrate over time
-        "sweep_sparse4": ("sweep", {"start": 4.0, "end": 17.0, "step": 3.25},
-                          64),
+        # its curve actually exercises plan->sense->integrate over time.
+        # phases=5 advances the flat set by step/5 each round (a FIXED
+        # sparse set senses the same 4 depths forever and plateaus at
+        # ~9.7 m — no convergence signal at all).
+        "sweep_sparse4": ("sweep", {"start": 4.0, "end": 17.0, "step": 3.25,
+                                    "phases": 5}, 64),
     }
     refs = {"default": REF_DEFAULT, "default_128_3modes": REF_128_3MODES,
             "m1": REF_M1}

@@ -271,8 +271,14 @@ class LightCurtain:
 
     def plan_sweep(self, field, planner, fw, kw: str, cfg: dict,
                    yield_mode: bool = False):
-        """Flat curtains z = start : step : end; [n, 2000, 2]."""
-        zs = np.arange(cfg["start"], cfg["end"], cfg["step"])
+        """Flat curtains z = start : step : end; [n, 2000, 2].
+
+        ``cfg["offset"]`` (default 0) shifts every curtain by a constant
+        depth — the phased-sweep ablation advances it each round so a
+        sparse sweep's union covers the volume over ``phases`` rounds
+        (see runtime.planner_runtime.PlannerRuntime.run)."""
+        zs = np.arange(cfg["start"], cfg["end"], cfg["step"]) \
+            + float(cfg.get("offset", 0.0))
         xs = np.arange(-10.0, 10.0, 0.01, dtype=np.float32)
         paths = np.stack([np.stack([xs, np.full_like(xs, z)], -1) for z in zs])
         if yield_mode:

@@ -140,7 +140,7 @@ class PlannerRuntime:
         (serial device I/O between stages)."""
         self.counter += 1
         if self.mode != "real" and self.planner != "empty":
-            sig = (dpv_r is not None, int(iterations))
+            sig = (dpv_r is not None, int(iterations), self._sweep_offset())
             step = self._sim_steps.get(sig) if hasattr(self, "_sim_steps") \
                 else None
             if step is None:
@@ -148,7 +148,8 @@ class PlannerRuntime:
                     self._sim_steps = {}
                 step = jax.jit(lambda final, key, spread, dpv, depth:
                                self._sim_rounds(final, key, spread, dpv,
-                                                depth, sig[0], sig[1]))
+                                                depth, sig[0], sig[1],
+                                                sig[2]))
                 self._sim_steps[sig] = step
             self.key, k = jax.random.split(self.key)
             self.final, depth, mask = step(
@@ -180,7 +181,8 @@ class PlannerRuntime:
             elif self.planner == "sweep":
                 paths = self.algo_lc.plan_sweep(
                     uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
-                    "high", self.params, yield_mode=stream)
+                    "high", {**self.params, "offset": self._sweep_offset()},
+                    yield_mode=stream)
             else:  # empty: no sensing
                 self._extract = None
                 break
@@ -207,8 +209,23 @@ class PlannerRuntime:
                 self.params.get("sim_std_div", 10.0)))
         return lc_dpvs
 
+    def _sweep_offset(self) -> float:
+        """Phased-sweep ablation: with ``params["phases"] = k`` the flat
+        sweep advances by step/k each round, so the union of k consecutive
+        rounds covers the volume at step/k resolution. A sparse sweep then
+        needs ~k rounds to converge — giving an informative convergence
+        curve, unlike the one-shot 52-curtain full sweep (0.68 m after a
+        single round) that cannot surface a sensing regression."""
+        if self.planner != "sweep":
+            return 0.0
+        k = int(self.params.get("phases", 0))
+        if k <= 1:
+            return 0.0
+        return ((self.counter - 1) % k) * float(self.params["step"]) / k
+
     def _sim_rounds(self, final, key, spread, dpv_r, depth_r,
-                    has_dpv: bool, iterations: int):
+                    has_dpv: bool, iterations: int,
+                    sweep_offset: float = 0.0):
         """Pure jittable body of ``run``'s sim path: (final, key) ->
         (final', depth, mask). ``spread`` is the traced counter<=100 flag
         (early-frame spreading, ros_all.py:199-201)."""
@@ -242,7 +259,7 @@ class PlannerRuntime:
             else:
                 paths = self.algo_lc.plan_sweep(
                     uf, self.algo_lc.planner_large, self.algo_lc.fw_large,
-                    "high", self.params)
+                    "high", {**self.params, "offset": sweep_offset})
             final = integrate(final, self._sense_sim(depth_r, paths,
                                                      k_sense))
 
