@@ -102,23 +102,20 @@ class BaseModelNet(nn.Module):
         return m
 
     #: fuse the flat-Conv3d depth-tap combine into the Pallas kernel
-    #: (ops/combine_pallas.py). "auto" = same gates as the sweep kernel:
-    #: TPU backend + bf16 compute, single device or shard_map'd over the
-    #: data mesh. True/False force; "interpret" for CPU tests/dryrun.
+    #: (ops/combine_pallas.py). "auto" = OFF: measured on the real chip the
+    #: kernel LOSES — the opaque tpu_custom_call pins a {0,3,2,1} layout
+    #: that XLA satisfies with ~20 extra 192 MB copy temps around Base3D's
+    #: adds/relus, OOMing the B=8 full-size step (15.75 GB HBM), and the
+    #: honest micro A/B (benchmarks/micro_combine.py) already has the
+    #: XLA roll+select form ahead. The kernel stays available for forcing
+    #: (True) and for the interpret-mode CPU tests + shard_map dryrun,
+    #: which pin its numerics and mesh plumbing.
     combine_pallas: Any = "auto"
 
     def _resolved_combine_pallas(self):
         if self.combine_pallas != "auto":
             return self.combine_pallas
-        if (self.dtype or jnp.float32) != jnp.bfloat16:
-            return False
-        try:
-            if jax.default_backend() != "tpu":
-                return False
-            multi = len(jax.devices()) > 1
-        except Exception:
-            return False
-        return (not multi) or self._sweep_mesh() is not None
+        return False
 
     def _use_sweep_pallas(self) -> bool:
         if self.sweep_pallas == "auto":
