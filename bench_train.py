@@ -78,7 +78,7 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
                      dtype: str | None = None, remat: str | None = None,
                      conv3d_flat: bool | None = None,
                      with_cost: bool = False, repeats: int = 3,
-                     with_lc: bool = False) -> dict:
+                     with_lc: bool = False, scan: int = 0) -> dict:
     from depthestimation_tpu.utils.compile_cache import enable as _cc
     _cc()
 
@@ -129,6 +129,12 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
     from depthestimation_tpu.utils.timing import readback, roundtrip_s
 
     key = jax.random.PRNGKey(1)
+
+    if scan:
+        return _bench_rollout(cfg, model, loss, tx, state, mi, gt, d_candi,
+                              scan, iters, warmup, repeats,
+                              with_lc=with_lc, key=key)
+
     t_compile = time.perf_counter()
     state, l, _ = step(state, mi, mi, gt, gt, key)
     readback(l)
@@ -181,6 +187,74 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
     return out
 
 
+def _bench_rollout(cfg, model, loss, tx, state, mi, gt, d_candi, scan,
+                   iters, warmup, repeats, with_lc, key):
+    """Train-through-time throughput: chunks of ``scan`` frames as ONE
+    lax.scan program (parallel.train_step.make_train_rollout) vs the
+    per-frame jitted step. Reports per-FRAME time for comparability."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthestimation_tpu.parallel.train_step import (
+        make_train_rollout, uniform_prev_seeds)
+    from depthestimation_tpu.trainer.default import _soft_labels
+    from depthestimation_tpu.utils.timing import readback, roundtrip_s
+
+    raw_gt = {k: v for k, v in gt.items()
+              if k not in ("soft_labels", "soft_labels_imgsize")}
+
+    def gt_fn(g):
+        g = dict(g)
+        g["soft_labels"] = _soft_labels(g["dmaps"], g["masks"], d_candi,
+                                        jnp.float32(0.3), cfg.var.ndepth)
+        g["soft_labels_imgsize"] = _soft_labels(
+            g["dmap_imgsizes"], g["masks_imgsizes"], d_candi,
+            jnp.float32(0.3), cfg.var.ndepth)
+        return g
+
+    rollout = make_train_rollout(model, loss, tx, donate=True,
+                                 lc_fn=(_make_lc_fn(cfg, mi) if with_lc
+                                        else None), gt_fn=gt_fn)
+    per_frame = ("rgb", "src_cam_poses", "dmaps", "masks", "dmaps_up",
+                 "dmap_imgsizes", "masks_imgsizes")
+    frames = {k: jnp.stack([jnp.asarray(mi[k])] * scan)
+              for k in per_frame if mi.get(k) is not None}
+    static = {k: v for k, v in mi.items()
+              if k not in per_frame and k not in ("prev_output", "prev_lc")}
+    gts = {k: jnp.stack([jnp.asarray(v)] * scan) for k, v in raw_gt.items()}
+    carry = uniform_prev_seeds(model, mi)
+
+    def run(state, carry, salt):
+        rngs = jax.random.split(jax.random.fold_in(key, salt), scan)
+        return rollout(state, carry, frames, frames, static, static,
+                       gts, gts, rngs)
+
+    t0 = time.perf_counter()
+    state, losses, carry = run(state, carry, 0)
+    readback(losses)
+    compile_s = time.perf_counter() - t0
+    for i in range(warmup):
+        state, losses, carry = run(state, carry, 1 + i)
+    readback(losses)
+    rtt = roundtrip_s(losses)
+    dts = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, losses, carry = run(state, carry, 100 + rep * iters + i)
+        readback(losses)
+        dts.append(max(time.perf_counter() - t0 - rtt, 1e-9)
+                   / (iters * scan))
+    dt = min(dts)
+    batch = int(cfg.train.batch_size)
+    return {"batch": batch, "scan": scan,
+            "step_ms": round(dt * 1e3, 2),
+            "step_ms_worst": round(max(dts) * 1e3, 2),
+            "frames_per_sec": round(batch / dt, 3),
+            "compile_s": round(compile_s, 1),
+            "loss": round(float(np.asarray(losses)[-1]), 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4, 8])
@@ -197,6 +271,9 @@ def main():
                     help="exp7_lc with the fused in-step LC loop "
                          "(plan->sense->Bayes, iterations=5) — the "
                          "production LC-training step")
+    ap.add_argument("--scan", type=int, default=0,
+                    help="train-through-time: chunks of N frames as one "
+                         "lax.scan rollout (0 = per-frame jitted step)")
     ap.add_argument("--no-save", action="store_true",
                     help="don't overwrite benchmarks/bench_train.json")
     args = ap.parse_args()
@@ -207,9 +284,10 @@ def main():
                              remat=args.remat,
                              conv3d_flat=(None if args.conv3d_flat is None
                                           else args.conv3d_flat == "on"),
-                             with_cost=args.cost, with_lc=args.lc)
+                             with_cost=args.cost, with_lc=args.lc,
+                             scan=args.scan)
         results.append(r)
-        tag = "_lc" if args.lc else ""
+        tag = ("_lc" if args.lc else "") + (f"_scan{args.scan}" if args.scan else "")
         print(json.dumps({"metric": f"train_step{tag}_b{b}_kitti_384x256_d64",
                           "value": r["frames_per_sec"],
                           "unit": "frames/sec", **{k: v for k, v in r.items()
@@ -220,6 +298,7 @@ def main():
     # only production-config runs update the committed json (ablation
     # overrides would silently replace the headline rows)
     ablation = (args.dtype or args.remat or args.conv3d_flat is not None
+                or args.scan
                 or os.environ.get("BENCH_COMBINE_PALLAS"))
     if not args.no_save and not ablation:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -63,7 +63,8 @@ def capture_forward(batch: int, iters: int, dtype: str, logdir: str):
     jax.profiler.stop_trace()
 
 
-def capture(batch: int, iters: int, dtype: str, remat: str, logdir: str):
+def capture(batch: int, iters: int, dtype: str, remat: str, logdir: str,
+            with_lc: bool = False):
     from depthestimation_tpu.utils.compile_cache import enable as _cc
     _cc()
     import jax
@@ -78,7 +79,7 @@ def capture(batch: int, iters: int, dtype: str, remat: str, logdir: str):
                                                          make_train_step)
     from depthestimation_tpu.trainer.default import _soft_labels
 
-    cfg = _cfg(batch=batch, nmode="exp7")
+    cfg = _cfg(batch=batch, nmode="exp7_lc" if with_lc else "exp7")
     cfg["tpu"]["dtype"] = dtype
     if remat and remat != "auto":
         cfg["tpu"]["remat"] = remat
@@ -86,7 +87,11 @@ def capture(batch: int, iters: int, dtype: str, remat: str, logdir: str):
     loss = get_loss(cfg)
     mi, gt = _sample_input(cfg, batch=batch)
     state, tx = init_state(model, cfg, mi, jax.random.PRNGKey(0))
-    step = make_train_step(model, loss, tx, donate=True)
+    lc_fn = None
+    if with_lc:
+        from bench_train import _make_lc_fn
+        lc_fn = _make_lc_fn(cfg, mi)
+    step = make_train_step(model, loss, tx, donate=True, lc_fn=lc_fn)
     mi = {k: v for k, v in mi.items() if k not in ("prev_output", "prev_lc")}
     mi["prev_output"] = None
     mi["prev_lc"] = None
@@ -137,19 +142,22 @@ def main():
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--parse-only", action="store_true",
                     help="skip capture; parse an existing --logdir")
+    ap.add_argument("--lc", action="store_true",
+                    help="profile the LC-on (exp7_lc + fused loop) step")
     ap.add_argument("--forward", action="store_true",
                     help="profile the inference forward instead of the "
                          "train step")
     args = ap.parse_args()
 
-    kind = "fwd" if args.forward else "train"
+    kind = "fwd" if args.forward else ("train_lc" if args.lc else "train")
     logdir = args.logdir or f"/tmp/jax_trace_{kind}_b{args.batch}"
     if not args.parse_only:
         os.makedirs(logdir, exist_ok=True)
         if args.forward:
             capture_forward(args.batch, args.iters, args.dtype, logdir)
         else:
-            capture(args.batch, args.iters, args.dtype, args.remat, logdir)
+            capture(args.batch, args.iters, args.dtype, args.remat, logdir,
+                    with_lc=args.lc)
         print(f"trace captured under {logdir}")
 
     data = op_table(logdir, top=args.top)

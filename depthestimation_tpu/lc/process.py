@@ -74,9 +74,13 @@ def _lc_process_item(bv, dmap, intr_up, key, *, lc, uf_params, iterations,
         sense = lc.sense_low
 
     def body(_, carry):
-        final, key = carry
+        # the carry stays in PROBABILITY space: the reference's per-
+        # iteration final=log(curr) / curr=exp(final) round trip
+        # (models.py:1107-1122) is an identity that costs two full
+        # [A, H, W] HBM passes per iteration here
+        curr, key = carry
         key, k_plan, k_sense = jax.random.split(key, 3)
-        uf, _ = gen_ufield(final, d_candi, intr_up, uf_params, log=True)
+        uf, _ = gen_ufield(curr, d_candi, intr_up, uf_params, log=False)
 
         if planner == "default":
             paths = plan_default(uf)
@@ -90,23 +94,32 @@ def _lc_process_item(bv, dmap, intr_up, key, *, lc, uf_params, iterations,
         sense_keys = jax.random.split(k_sense, paths.shape[0])
         lc_dpvs = jax.vmap(lambda p, k: sense(dmap, p, key=k))(paths,
                                                                sense_keys)
-        curr = jnp.clip(jnp.exp(final), EPS, 1.0)
 
-        def fuse(p, c):
-            m = jnp.clip(jnp.nan_to_num(lc_dpvs[p]), EPS, 1.0)
-            c = c * m
-            return c / jnp.sum(c, axis=0, keepdims=True)
+        # The reference renormalizes after every measurement
+        # (models.py:1107-1112), but per-pixel normalization telescopes:
+        # c·m0/s0·m1/s1···/sn == (c·∏m)/s. Fusing the product collapses
+        # the loop's dominant HBM traffic (P+1 full [A, H, W] passes with
+        # intermediate writes) into one fused read of the P measurement
+        # volumes. Floor-clip the product — EPS^P underflows f32 where
+        # every curtain missed, and the subsequent normalize would 0/0.
+        m = jnp.prod(jnp.clip(jnp.nan_to_num(lc_dpvs), EPS, 1.0), axis=0)
+        curr = curr * jnp.clip(m, 1e-30, 1.0)
 
-        curr = jax.lax.fori_loop(0, paths.shape[0], fuse, curr)
-
-        def spread(_, c):
-            return spread_dpv(c[None], int(params.get("spread_n", 5)))[0]
-
-        curr = jax.lax.fori_loop(0, int(params.get("spread_iter", 0)),
-                                 spread, curr)
+        spread_iter = int(params.get("spread_iter", 0))
+        if spread_iter:
+            # iterated-kernel spread: all spread_iter applications in one
+            # [A, H, W] pass (exact — see ops/dpv.spread_dpv). The spread
+            # renormalizes, and a per-pixel scalar divides straight through
+            # the linear box filter — so the usual post-fuse normalize is
+            # skipped here (it would be a full extra read+write pass).
+            curr = spread_dpv(curr[None], int(params.get("spread_n", 5)),
+                              iters=spread_iter)[0]
+        else:
+            curr = curr / jnp.sum(curr, axis=0, keepdims=True)
         curr = jnp.clip(curr, EPS, 1.0)
-        return jnp.log(curr), key
+        return curr, key
 
-    # one compiled iteration body, looped on device
-    final, _ = jax.lax.fori_loop(0, iterations, body, (final, key))
-    return upsample_dpv(final[None], out_d, log=True)[0]
+    # one compiled iteration body, looped on device; prob-space carry
+    curr0 = jnp.clip(jnp.exp(final), EPS, 1.0)
+    curr, _ = jax.lax.fori_loop(0, iterations, body, (curr0, key))
+    return upsample_dpv(jnp.log(curr)[None], out_d, log=True)[0]

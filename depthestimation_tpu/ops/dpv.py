@@ -97,15 +97,25 @@ def upsample_dpv(dpv, n: int, log: bool = False):
     return jnp.log(p) if log else p
 
 
-def spread_dpv(dpv, n: int = 5):
+def spread_dpv(dpv, n: int = 5, iters: int = 1):
     """Motion-model spread: box filter of width ``n`` along the depth axis
-    (zero padding), renormalized along D. dpv: [B, D, H, W] probabilities."""
-    pad = n // 2
+    (zero padding), renormalized along D. dpv: [B, D, H, W] probabilities.
+
+    ``iters`` applies the spread that many times in ONE pass: the box sum
+    is linear within each depth column and the renormalizer is a per-pixel
+    scalar, so normalize(B(normalize(B(c)))) == normalize(B²(c)) exactly —
+    the iterated kernel (box convolved with itself) replaces ``iters``
+    full [B, D, H, W] read/write passes with one."""
+    kernel = np.ones(n, np.float32)
+    for _ in range(int(iters) - 1):
+        kernel = np.convolve(kernel, np.ones(n, np.float32))
+    pad = len(kernel) // 2
     x = jnp.moveaxis(dpv, -3, -1)                       # [B, H, W, D]
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
     out = jnp.zeros_like(x)
-    for k in range(n):
-        out = out + jax.lax.dynamic_slice_in_dim(xp, k, x.shape[-1], axis=-1)
+    for k, w in enumerate(kernel):
+        tap = jax.lax.dynamic_slice_in_dim(xp, k, x.shape[-1], axis=-1)
+        out = out + (tap if w == 1.0 else w * tap)
     out = jnp.moveaxis(out, -1, -3)
     return out / jnp.sum(out, axis=-3, keepdims=True)
 

@@ -90,11 +90,12 @@ def init_state(model, cfg, sample_input, rng) -> tuple:
                       batch_stats=batch_stats, opt_state=opt_state), tx
 
 
-def make_train_step(model, loss_fn, tx, donate: bool = True,
-                    remat: bool = False,
-                    lc_fn: Optional[Callable] = None) -> Callable:
-    """Returns jitted (state, mi_l, mi_r, gt_l, gt_r, rng) -> (state, loss,
-    aux) where aux carries the 1/4-res prev_output/prev_lc feedback.
+def make_train_step_body(model, loss_fn, tx, remat: bool = False,
+                         lc_fn: Optional[Callable] = None) -> Callable:
+    """The un-jitted train-step body shared by ``make_train_step`` (one
+    jitted program per frame) and ``make_train_rollout`` (a ``lax.scan``
+    over a frame chunk): (state, mi_l, mi_r, gt_l, gt_r, rng) -> (state,
+    loss, aux) where aux carries the 1/4-res prev_output/prev_lc feedback.
 
     ``remat=True`` checkpoints each camside forward: the backward recomputes
     activations instead of storing them, trading ~30% step time for the
@@ -149,8 +150,98 @@ def make_train_step(model, loss_fn, tx, donate: bool = True,
                 aux["refined_left"], aux["refined_right"], mi_l, mi_r, rlc)
         return new_state, loss, aux
 
+    return step
+
+
+def make_train_step(model, loss_fn, tx, donate: bool = True,
+                    remat: bool = False,
+                    lc_fn: Optional[Callable] = None) -> Callable:
+    """Jitted per-frame train step; see ``make_train_step_body``."""
+    step = make_train_step_body(model, loss_fn, tx, remat=remat, lc_fn=lc_fn)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def uniform_prev_seeds(model, sample_mi) -> dict:
+    """Explicit frame-0 carries for the scan rollout, bit-matching what the
+    model substitutes for ``prev_output``/``prev_lc`` = None: probability-
+    uniform prior for exp7, LOG-uniform for exp7_lc/lc (_prev_or_uniform);
+    prev_lc is always log-space. Passing the explicit array instead of None
+    is value-identical — _drop_prev_lc's bernoulli where() picks between
+    prev_lc and the same log-uniform."""
+    b = sample_mi["rgb"].shape[0]
+    d = model.d
+    h4, w4 = sample_mi["rgb"].shape[-2] // 4, sample_mi["rgb"].shape[-1] // 4
+    fill = (jnp.log(1.0 / d) if model.nmode in ("exp7_lc", "lc")
+            else 1.0 / d)
+    prev = jnp.full((b, d, h4, w4), fill, jnp.float32)
+    prev_lc = jnp.full((b, d, h4, w4), jnp.log(1.0 / d), jnp.float32)
+    return {"prev_output_left": prev, "prev_output_right": prev,
+            "prev_lc_left": prev_lc, "prev_lc_right": prev_lc}
+
+
+def make_train_rollout(model, loss_fn, tx, donate: bool = True,
+                       remat: bool = False,
+                       lc_fn: Optional[Callable] = None,
+                       gt_fn: Optional[Callable] = None) -> Callable:
+    """Train-through-time: a whole frame chunk as ONE jitted program.
+
+    The reference steps the optimizer once per frame and carries detached
+    quarter-res DPV feedback across frames from Python
+    (trainer/default_trainer.py:156-188); the per-frame jitted path here
+    does the same, paying a host round-trip + dispatch per frame. This
+    rollout moves the recursion in-graph (SURVEY §7 stage 6): a
+    ``lax.scan`` whose carry is (TrainState, prev_output L/R, prev_lc L/R)
+    runs the SAME step body — per-frame optimizer update included — over
+    stacked per-frame inputs. Numerics match the per-frame path
+    (tests/test_scan_train.py pins it; scan-vs-loop float reassociation
+    needs relative tolerances on CPU, CLAUDE.md).
+
+    Returns jitted
+      rollout(state, carry, frames_l, frames_r, static_l, static_r,
+              gts_l, gts_r, rngs) -> (state, losses[T], carry)
+    where ``carry`` = {prev_output/lc_left/right} arrays (seed frame 0
+    with ``uniform_prev_seeds``), frames_*/gts_* are dicts stacked along a
+    leading T axis, static_* hold the frame-invariant model-input fields,
+    and rngs is [T, 2] PRNG keys.
+
+    ``gt_fn`` (optional) maps one frame's raw gt dict to the loss-target
+    dict INSIDE the scan body (e.g. the trainer's on-device soft-label
+    generation) — stacking precomputed [T, B, D, H, W] labels would cost
+    gigabytes at full size; per-frame they live only for the step.
+    """
+    body = make_train_step_body(model, loss_fn, tx, remat=remat, lc_fn=lc_fn)
+
+    def rollout(state: TrainState, carry: dict, frames_l, frames_r,
+                static_l, static_r, gts_l, gts_r, rngs):
+        def scan_body(c, x):
+            st, po_l, po_r, plc_l, plc_r = c
+            f_l, f_r, gt_l, gt_r, rng = x
+            mi_l = {**static_l, **f_l, "prev_output": po_l, "prev_lc": plc_l}
+            mi_r = {**static_r, **f_r, "prev_output": po_r, "prev_lc": plc_r}
+            if gt_fn is not None:
+                gt_l, gt_r = gt_fn(gt_l), gt_fn(gt_r)
+            st, loss, aux = body(st, mi_l, mi_r, gt_l, gt_r, rng)
+            return (st,
+                    aux["prev_output_left"], aux["prev_output_right"],
+                    aux.get("prev_lc_left", plc_l),
+                    aux.get("prev_lc_right", plc_r)), loss
+
+        init = (state, carry["prev_output_left"], carry["prev_output_right"],
+                carry["prev_lc_left"], carry["prev_lc_right"])
+        (state, po_l, po_r, plc_l, plc_r), losses = jax.lax.scan(
+            scan_body, init, (frames_l, frames_r, gts_l, gts_r, rngs))
+        return state, losses, {
+            "prev_output_left": po_l, "prev_output_right": po_r,
+            "prev_lc_left": plc_l, "prev_lc_right": plc_r,
+        }
+
+    # donate only the TrainState: the carry seeds may share one buffer
+    # across tree leaves (uniform_prev_seeds — and the tunneled runtime can
+    # content-dedupe identical fills), and donating one buffer twice is an
+    # XLA Execute() error
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(rollout, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model) -> Callable:

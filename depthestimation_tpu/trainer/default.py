@@ -325,7 +325,24 @@ class DefaultTrainer:
 
     # -- epochs -------------------------------------------------------------
 
+    def _use_scan_train(self) -> bool:
+        """Train-through-time gate (SURVEY §7 stage 6): the in-graph frame
+        recursion requires the plain recursion semantics — no same-frame
+        self-recursion, no host-driven real-LC fusion (its sweep tensors
+        only exist on some batches), single host (the per-frame corrupted-
+        batch skip vote is a host-side branch)."""
+        return (bool(self.cfg.get("tpu", {}).get("scan_train", False))
+                and self.self_recurse == 1
+                and not self.clear_prev_on_recurse
+                and self.real_lc is None
+                and jax.process_count() == 1)
+
     def _run_one_epoch(self):
+        if self._use_scan_train():
+            return self._run_one_epoch_scan()
+        return self._run_one_epoch_loop()
+
+    def _run_one_epoch_loop(self):
         t0 = time.time()
         losses = []
         # Equalize per-host step counts BEFORE the epoch: with scene-sharded
@@ -401,6 +418,122 @@ class DefaultTrainer:
                                f"loss={losses[-1]:.5f}")
 
         self._epoch_end_vote()
+        self._last_epoch_losses = losses
+        self.i_epoch += 1
+        self._log.info(self.id, f"Epoch done in {time.time()-t0:.1f}s, "
+                                f"mean loss {np.mean(losses):.5f}")
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def _run_one_epoch_scan(self):
+        """Train-through-time: buffer the video batch's frames and run each
+        chunk as ONE jitted lax.scan program (parallel.train_step.
+        make_train_rollout) with the TrainState + quarter-res DPV feedback
+        carried on device — no host round-trip or dispatch per frame. The
+        reference steps per frame from Python (default_trainer.py:156-188);
+        numerics here match the per-frame path (tests/test_scan_train.py)."""
+        from depthestimation_tpu.data.video_synthetic import assemble_inputs
+        from depthestimation_tpu.parallel.train_step import (
+            make_train_rollout, uniform_prev_seeds)
+
+        chunk_len = int(self.cfg.get("tpu", {}).get("scan_chunk", 4))
+        t0 = time.time()
+        losses_dev, losses = [], []
+        stereo = bool(self.cfg.var.get("stereo", False))
+        pnoise = float(self.cfg.var.get("pnoise", 0.0) or 0.0)
+
+        buf = []                      # per-frame (f_l, f_r, gt_l, gt_r, rng)
+        static_l = static_r = None    # host dicts, frame-invariant fields
+        carry = None
+
+        def gt_fn(gt):
+            gt = dict(gt)
+            var = jnp.float32(self.cfg.var.softce)
+            d_candi = jnp.asarray(self.d_candi, jnp.float32)
+            gt["soft_labels"] = _soft_labels(gt["dmaps"], gt["masks"],
+                                             d_candi, var, len(self.d_candi))
+            gt["soft_labels_imgsize"] = _soft_labels(
+                gt["dmap_imgsizes"], gt["masks_imgsizes"], d_candi, var,
+                len(self.d_candi))
+            return gt
+
+        def flush():
+            nonlocal carry
+            if not buf:
+                return
+            if not hasattr(self, "_train_rollout"):
+                self._train_rollout = make_train_rollout(
+                    self.model, self._loss_with_labels, self.tx,
+                    lc_fn=self._fused_lc_fn(), gt_fn=gt_fn)
+            # stack on host, shard once: frames axis replicated, batch axis
+            # on the mesh (stacking already-sharded per-frame arrays makes
+            # XLA:CPU emit all-to-alls that abort on the virtual mesh)
+            stack = lambda i: mesh_lib.shard_frames(
+                {k: np.stack([np.asarray(f[i][k]) for f in buf])
+                 for k in buf[0][i]}, self.mesh)
+            rngs = jnp.stack([f[4] for f in buf])
+            st_l = mesh_lib.shard_batch(static_l, self.mesh)
+            st_r = mesh_lib.shard_batch(static_r, self.mesh)
+            if carry is None:
+                carry = uniform_prev_seeds(
+                    self.model, {"rgb": buf[0][0]["rgb"]})
+            self.state, loss_t, carry = self._train_rollout(
+                self.state, carry, stack(0), stack(1), st_l, st_r,
+                stack(2), stack(3), rngs)
+            losses_dev.append(loss_t)
+            buf.clear()
+
+        for batch in self.train_loader.enumerate():
+            if not batch.get("is_valid", True):
+                flush()               # keep the carry; skip only this frame
+                self._log.info(self.id, "Corrupted Data! Skipping batch "
+                               f"{batch['batch_idx']+1} frame "
+                               f"{batch['frame_count']+1}")
+                continue
+            if batch["frame_count"] == 0:
+                flush()
+                carry = None          # reseed with the uniform priors
+
+            mi_l, gt_l = assemble_inputs(batch, "left", stereo)
+            mi_r, gt_r = assemble_inputs(batch, "right", stereo)
+            if pnoise > 0:
+                from depthestimation_tpu.ops.geometry import add_noise_to_pose
+                self.rng, kl, kr = jax.random.split(self.rng, 3)
+                mi_l["src_cam_poses"] = np.asarray(add_noise_to_pose(
+                    kl, jnp.asarray(mi_l["src_cam_poses"]), pnoise))
+                mi_r["src_cam_poses"] = np.asarray(add_noise_to_pose(
+                    kr, jnp.asarray(mi_r["src_cam_poses"]), pnoise))
+            self.ensure_state({**mi_l, "prev_output": None, "prev_lc": None})
+            self._ensure_lc(mi_l)
+
+            # same rng sequencing as the per-frame loop
+            self.rng, step_rng, _ = jax.random.split(self.rng, 3)
+            hmi_l = {k: v for k, v in mi_l.items()
+                     if k not in ("prev_output", "prev_lc")}
+            hmi_r = {k: v for k, v in mi_r.items()
+                     if k not in ("prev_output", "prev_lc")}
+            f_l = {k: hmi_l.pop(k) for k in self._PER_FRAME_KEYS
+                   if k in hmi_l}
+            f_r = {k: hmi_r.pop(k) for k in self._PER_FRAME_KEYS
+                   if k in hmi_r}
+            static_l, static_r = hmi_l, hmi_r
+            buf.append((f_l, f_r, dict(gt_l), dict(gt_r), step_rng))
+            if len(buf) >= chunk_len:
+                flush()
+
+            self.i_iter += 1
+            if self.i_iter % int(self.cfg.train.get("print_freq", 10)) == 0 \
+                    and losses_dev:
+                self._log.info(self.id,
+                               f"Train batch {batch['batch_idx']+1}/"
+                               f"{batch['nbatch']}, frame "
+                               f"{batch['frame_count']+1}/{batch['traj_len']},"
+                               f" epoch {self.i_epoch+1}/"
+                               f"{self.cfg.train.epoch_num}, "
+                               f"loss={float(losses_dev[-1][-1]):.5f}")
+        flush()
+
+        losses = [float(x) for t in losses_dev for x in np.asarray(t)]
+        self._last_epoch_losses = losses
         self.i_epoch += 1
         self._log.info(self.id, f"Epoch done in {time.time()-t0:.1f}s, "
                                 f"mean loss {np.mean(losses):.5f}")
