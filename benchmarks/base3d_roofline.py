@@ -129,22 +129,30 @@ def measure():
     def fwd_step(v):
         out, _ = mod.apply(params, v, train=True,
                            mutable=["batch_stats"])
-        fb = (jnp.sum(out) * 1e-3).astype(v.dtype)
+        # MEAN-scaled feedback: a raw sum over the 12.6M-element log-prob
+        # volume saturates bf16 and NaNs the chain — identical (NaN)
+        # iterations then come back from the runtime's content-dedupe
+        # cache as 0 ms (CLAUDE.md trap #2)
+        fb = (jnp.mean(out) * 1e-2).astype(v.dtype)
         return jnp.roll(v + fb, 1, axis=0)
 
     @jax.jit
     def fwdbwd_step(v):
         def loss(p, v):
             out, _ = mod.apply(p, v, train=True, mutable=["batch_stats"])
-            return jnp.sum(out.astype(jnp.float32) ** 2)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
         g = jax.grad(loss)(params, v)
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        fb = (jnp.sum(leaf).astype(jnp.float32) * 1e-3).astype(v.dtype)
+        # touch EVERY grad leaf: consuming only one lets XLA dead-code-
+        # eliminate the other layers' weight-grad convs (measured 0.9 ms
+        # "backward" before this)
+        fb = sum(jnp.mean(l).astype(jnp.float32)
+                 for l in jax.tree_util.tree_leaves(g))
+        fb = (fb * 1e-2).astype(v.dtype)
         return jnp.roll(v + fb, 1, axis=0)
 
-    fwd_ms, _ = time_chain(fwd_step, vol, 20)
-    fb_ms, _ = time_chain(fwdbwd_step, vol, 20)
-    return fwd_ms, fb_ms
+    fwd_s, _ = time_chain(fwd_step, vol, 20)
+    fb_s, _ = time_chain(fwdbwd_step, vol, 20)
+    return fwd_s * 1e3, fb_s * 1e3
 
 
 def main():
