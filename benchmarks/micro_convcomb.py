@@ -411,7 +411,12 @@ def main():
     print(f"fwd speedup {xla_ms / pal_ms:.2f}x")
 
     # ---- bwd timing: XLA vjp of the pure block vs the fused bwd kernel
-    def xla_fb(v):
+    # Big tensors (gy, y) must be runtime ARGUMENTS of the jitted fns, not
+    # closure captures: captured jnp arrays are baked into the HLO as
+    # literal constants, and a 192 MB constant blows the axon
+    # remote-compile request body limit (HTTP 413).
+    @jax.jit
+    def xla_fb(v, gy4, gs):
         def f(x4, k3):
             y, s = pure_xla(x4, k3)
             return (jnp.sum(y.astype(jnp.float32) * gy4.astype(jnp.float32))
@@ -421,13 +426,14 @@ def main():
               + jnp.mean(gk).astype(jnp.float32))
         return jnp.roll(v, 1, axis=0) + (fb * 1e-2).astype(v.dtype)
 
-    def pal_bwd(v):
+    @jax.jit
+    def pal_bwd(v, y0_t, gy_t, gs):
         dx, dw = convcomb_bwd_pallas(v, wm, y0_t, gy_t, gs, D, H, W)
         fb = (jnp.mean(dx).astype(jnp.float32) + jnp.mean(dw) * 1e-3)
         return jnp.roll(v, 1, axis=0) + (fb * 1e-2).astype(v.dtype)
 
-    t_xla_fb, _ = time_chain(jax.jit(xla_fb), x4, 20)
-    t_pal_b, _ = time_chain(jax.jit(pal_bwd), xt, 20)
+    t_xla_fb, _ = time_chain(lambda v: xla_fb(v, gy4, gs), x4, 20)
+    t_pal_b, _ = time_chain(lambda v: pal_bwd(v, y0_t, gy_t, gs), xt, 20)
     print(f"xla fwd+bwd {t_xla_fb*1e3:7.3f} ms  (bwd ~{t_xla_fb*1e3 - xla_ms:.3f})")
     print(f"pallas bwd  {t_pal_b*1e3:7.3f} ms   -> fused fwd+bwd "
           f"{pal_ms + t_pal_b*1e3:.3f} ms, speedup "
