@@ -117,6 +117,41 @@ class BaseModelNet(nn.Module):
             return self.combine_pallas
         return False
 
+    #: fused Base3D block kernel (ops/convcomb_pallas.py): one Pallas
+    #: pass per conv layer does normalize+ReLU on load, the 3x3x3 conv,
+    #: the depth-tap combine, and the BN statistics on store — the tap
+    #: tensor / combine selects / stat fusions never reach HBM. "auto" =
+    #: on a TPU backend under bf16 with the flat layout (single-device
+    #: directly, data meshes via shard_map — same contract as
+    #: sweep_pallas). Measured fwd+bwd 8.40 vs 10.60 ms/layer at the B=8
+    #: production volume (benchmarks/micro_convcomb.py). True/False
+    #: force; "interpret" = Pallas interpreter (CPU tests / dryrun).
+    convcomb_pallas: Any = "auto"
+
+    def _resolved_convcomb_pallas(self):
+        if self.convcomb_pallas != "auto":
+            return self.convcomb_pallas
+        if not self.conv3d_flat:
+            return False
+        if (self.dtype or jnp.float32) != jnp.bfloat16:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        return len(jax.devices()) == 1 or self._sweep_mesh() is not None
+
+    def conv3d_path(self, batch_rows: int, h: int = 96, w: int = 64) -> str:
+        """Which Base3D implementation runs for a ``batch_rows``-row flat
+        volume: "convcomb-pallas", "convcomb-pallas+shard_map", or
+        "xla-flat"/"xla-5d". The dryrun prints this next to sweep_path."""
+        cc = self._resolved_convcomb_pallas()
+        if not cc or not self.conv3d_flat:
+            return "xla-flat" if self.conv3d_flat else "xla-5d"
+        if cc != "interpret" and (batch_rows < 192 or (h * w) % 128 != 0):
+            return "xla-flat"
+        if len(jax.devices()) > 1 and self._sweep_mesh() is not None:
+            return "convcomb-pallas+shard_map"
+        return "convcomb-pallas"
+
     def _use_sweep_pallas(self) -> bool:
         if self.sweep_pallas == "auto":
             if self._sweep_dtype() != jnp.bfloat16:
@@ -183,13 +218,18 @@ class BaseModelNet(nn.Module):
         self.conv0_2 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         if self.nmode in ("exp3", "exp4", "exp6", "exp7", "exp7_lc", "lc"):
             cp = self._resolved_combine_pallas()
+            cc = self._resolved_convcomb_pallas()
             self.based_3d = b3d_cls(feature_dim=32, dres_count=2,
                                     bn_avg=self.bn_avg, dtype=self.dtype,
                                     flat=self.conv3d_flat,
                                     combine_pallas=cp,
                                     combine_mesh=(self._sweep_mesh()
                                                   if cp else None),
-                                    combine_axis=self.mesh_axis)
+                                    combine_axis=self.mesh_axis,
+                                    convcomb_pallas=cc,
+                                    convcomb_mesh=(self._sweep_mesh()
+                                                   if cc else None),
+                                    convcomb_axis=self.mesh_axis)
         if self.nmode == "exp8":
             # Structural parity with the reference's exp8 (models.py:477-478):
             # it allocates a second decoder but has NO forward branch —

@@ -117,8 +117,10 @@ class Conv3d(nn.Module):
     combine_axis: str = "data"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_in=None):
         k, p, s = self.kernel_size, self.padding, self.stride
+        if fused_in is not None:
+            return self._fused(x, fused_in)
         in_ch = x.shape[-1]
         kernel = self.param("kernel", fanout_normal_init(),
                             (k, k, k, in_ch, self.features))
@@ -202,6 +204,52 @@ class Conv3d(nn.Module):
         if bias is not None:
             y = y + bias
         return y
+
+    def _fused(self, x, fused_in):
+        """Fused-kernel path (ops/convcomb_pallas.py): ``x`` is the RAW
+        (pre-BN) previous-layer output in the transposed [N, C, H*W]
+        layout; ``fused_in`` = dict(a, b, relu, h, w, interpret, mesh,
+        axis) carries the pending per-channel normalize coefficients that
+        the kernel applies on load. Returns (y_raw [N, F, H*W] bf16,
+        stats [F, 2] f32 sums) — the BN that owns this conv consumes the
+        stats (see BatchNorm ``fused_stats``). Channels are zero-padded
+        to sublane multiples of 8 around the kernel call (Mosaic needs
+        aligned sublane concat/split offsets); the parameter keeps its
+        torch-compatible [3, 3, 3, C, F] shape either way."""
+        from depthestimation_tpu.ops.convcomb_pallas import (
+            convbn_block, pack_wm)
+
+        k, p, s = self.kernel_size, self.padding, self.stride
+        if k != 3 or s != 1 or p != 1 or self.depth is None or self.use_bias:
+            raise ValueError("fused Conv3d needs the 3x3x3 stride-1 "
+                             "'same' no-bias geometry and depth set")
+        n, c, hw = x.shape
+        f = self.features
+        kernel = self.param("kernel", fanout_normal_init(),
+                            (k, k, k, c, f))
+        cp = (-c) % 8
+        fp = (-f) % 8
+        if cp or fp:
+            kernel_p = jnp.pad(kernel, ((0, 0),) * 3 + ((0, cp), (0, fp)))
+            x = jnp.pad(x, ((0, 0), (0, cp), (0, 0)))
+        else:
+            kernel_p = kernel
+        wm = pack_wm(kernel_p).astype(jnp.bfloat16)
+        a = jnp.concatenate([fused_in["a"].astype(jnp.float32),
+                             jnp.ones((cp,), jnp.float32)]) if cp else \
+            fused_in["a"].astype(jnp.float32)
+        b = jnp.concatenate([fused_in["b"].astype(jnp.float32),
+                             jnp.zeros((cp,), jnp.float32)]) if cp else \
+            fused_in["b"].astype(jnp.float32)
+        y, stats = convbn_block(
+            x.astype(jnp.bfloat16), wm, a, b, self.depth,
+            fused_in["h"], fused_in["w"], fused_in["relu"],
+            fused_in.get("interpret", False), fused_in.get("mesh"),
+            fused_in.get("axis", "data"))
+        if fp:
+            y = y[:, :f]
+            stats = stats[:f]
+        return y, stats
 
 
 class ConvTranspose(nn.Module):
@@ -329,7 +377,9 @@ class BatchNorm(nn.Module):
     use_scale_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, fused_stats=None):
+        if fused_stats is not None:
+            return self._fused_coeffs(fused_stats, train)
         c = x.shape[-1]
         axes = tuple(range(x.ndim - 1))
 
@@ -365,6 +415,46 @@ class BatchNorm(nn.Module):
             b = bias - mean * a
             y = x * a.astype(x.dtype) + b.astype(x.dtype)
         return y.astype(x.dtype)
+
+    def _fused_coeffs(self, fused_stats, train: bool):
+        """Fused-kernel path: instead of normalizing an activation, turn
+        the kernel-produced raw sums into the per-channel (a, b) that the
+        NEXT fused layer applies on load (y_norm = y_raw*a + b).
+
+        ``fused_stats`` = (stats [C, 2] f32 with sums of y and y*y, count).
+        Gradients to scale/bias AND back into the stats (and from there
+        through the producing kernel's custom VJP) flow through these
+        [C]-sized ops via ordinary autodiff — the closed-form bn_train_apply
+        VJP exists only to avoid materializing f32 activation copies, which
+        the fused layout never creates."""
+        stats, count = fused_stats
+        c = stats.shape[0]
+        if self.use_scale_bias:
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+        else:
+            scale = jnp.ones((c,), jnp.float32)
+            bias = jnp.zeros((c,), jnp.float32)
+        mean = stats[:, 0] / count
+        var = jnp.maximum(stats[:, 1] / count - jnp.square(mean), 0.0)
+        if self.track_running_stats:
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
+            if train and not self.is_initializing():
+                m0 = jax.lax.stop_gradient(mean)
+                v0 = jax.lax.stop_gradient(var)
+                unbiased = v0 * (count / max(count - 1.0, 1.0))
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * m0)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+            if not train:
+                mean, var = ra_mean.value, ra_var.value
+        a = jax.lax.rsqrt(var + self.eps) * scale
+        b = bias - mean * a
+        return a.astype(jnp.float32), b.astype(jnp.float32)
 
 
 class ConvBN(nn.Module):
@@ -402,13 +492,24 @@ class ConvBN3d(nn.Module):
     combine_axis: str = "data"
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        x = Conv3d(self.features, self.kernel_size, self.stride, self.pad,
-                   use_bias=False, dtype=self.dtype, depth=self.depth,
-                   combine_pallas=self.combine_pallas,
-                   combine_mesh=self.combine_mesh,
-                   combine_axis=self.combine_axis)(x)
-        return BatchNorm(self.bn_running_avg)(x, train)
+    def __call__(self, x, train: bool = True, fused_in=None):
+        conv = Conv3d(self.features, self.kernel_size, self.stride,
+                      self.pad, use_bias=False, dtype=self.dtype,
+                      depth=self.depth,
+                      combine_pallas=self.combine_pallas,
+                      combine_mesh=self.combine_mesh,
+                      combine_axis=self.combine_axis)
+        bn = BatchNorm(self.bn_running_avg)
+        if fused_in is not None:
+            # fused-kernel chain (ops/convcomb_pallas.py): x is the RAW
+            # previous output [N, C, H*W]; return (y_raw, a, b) where
+            # (a, b) normalize y_raw on the NEXT layer's load.
+            y, stats = conv(x, fused_in=fused_in)
+            count = float(y.shape[0] * y.shape[2])
+            a, b = bn(None, train, fused_stats=(stats, count))
+            return y, a, b
+        x = conv(x)
+        return bn(x, train)
 
 
 class PReLU(nn.Module):
