@@ -135,14 +135,28 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
                               scan, iters, warmup, repeats,
                               with_lc=with_lc, key=key)
 
+    # Kernel-FLOP log: XLA cost_analysis CANNOT count work inside opaque
+    # pallas_calls (r4 reported a fake 40% MFU drop when convcomb went
+    # live) — the kernel wrappers log their analytic MXU FLOPs at trace
+    # time (ops/flop_log.py), so bracket the FIRST (compiling) call,
+    # which is the only one that traces.
+    from depthestimation_tpu.ops import flop_log
+    flop_log.start()
     t_compile = time.perf_counter()
     state, l, _ = step(state, mi, mi, gt, gt, key)
     readback(l)
     compile_s = time.perf_counter() - t_compile
+    kernel_flops = flop_log.drain()
 
     flops = None
     if with_cost:
-        try:  # XLA cost analysis of the whole compiled step (fwd+bwd+Adam)
+        try:
+            # XLA cost analysis of the whole compiled step (fwd+bwd+Adam),
+            # plus the logged kernel FLOPs.  Convention (README):
+            #   flops     = cost_analysis + convcomb kernel FLOPs
+            #               (comparable with the r3 series, where the
+            #               sweep kernel was active-and-uncounted too)
+            #   flops_all = cost_analysis + ALL kernel FLOPs
             ca = step.lower(state, mi, mi, gt, gt, key).compile()\
                 .cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -179,11 +193,21 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
            "compile_s": round(compile_s, 1),
            "loss": round(float(l), 4)}
     if flops:
-        out["step_gflops"] = round(flops / 1e9, 1)
-        out["achieved_tflops"] = round(flops / dt / 1e12, 2)
+        conv_fl = sum(v for k, v in kernel_flops.items()
+                      if k.startswith("convcomb"))
+        all_fl = sum(kernel_flops.values())
+        fl_r3 = flops + conv_fl              # r3-comparable convention
+        fl_all = flops + all_fl              # every MXU FLOP counted
+        out["step_gflops"] = round(fl_r3 / 1e9, 1)
+        out["step_gflops_xla_visible"] = round(flops / 1e9, 1)
+        if kernel_flops:
+            out["kernel_gflops"] = {k: round(v / 1e9, 1)
+                                    for k, v in kernel_flops.items()}
+        out["achieved_tflops"] = round(fl_r3 / dt / 1e12, 2)
         peak = _tpu_peak_flops(jax.devices()[0])
         if peak:
-            out["mfu"] = round(flops / dt / peak, 4)
+            out["mfu"] = round(fl_r3 / dt / peak, 4)
+            out["mfu_all_kernels"] = round(fl_all / dt / peak, 4)
     return out
 
 

@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from depthestimation_tpu.ops import flop_log
+
 
 def _shift_hw(u, off, h, w):
     """Lane-roll a [rows, H*W] tile by ``off`` pixels with image-boundary
@@ -139,6 +141,10 @@ def _fwd_call(x, wm, a, b, depth, h, w, relu_in, interpret):
     n, c, hw = x.shape
     f3 = wm.shape[0]
     f = f3 // 3
+    # cost_analysis cannot see into the pallas_call — log the dot's MXU
+    # FLOPs (== XLA's count for the equivalent tap-stacked conv) for the
+    # bench's MFU correction (ops/flop_log.py)
+    flop_log.log("convcomb_fwd", 2.0 * n * f3 * 9 * c * hw)
     ab = jnp.stack([a, b]).astype(jnp.float32)           # [2, C]
     kernel = functools.partial(_fwd_kernel, n_rows=n, depth=depth,
                                h=h, w=w, relu_in=relu_in)
@@ -253,6 +259,9 @@ def _bwd_call(x, wm, a, b, y, gy, gs, depth, h, w, relu_in, interpret):
     n, c, hw = x.shape
     f3 = wm.shape[0]
     f = f3 // 3
+    # two dots per row (data-grad m9 + weight-grad dW), each the size of
+    # the forward dot — same 2x convention XLA uses for conv backward
+    flop_log.log("convcomb_bwd", 2.0 * 2.0 * n * f3 * 9 * c * hw)
     sb = jnp.stack([gs[:, 0], gs[:, 1]]).astype(jnp.float32)   # [2, F]
     ab = jnp.stack([a, b]).astype(jnp.float32)                 # [2, C]
     kernel = functools.partial(_bwd_kernel, n_rows=n, depth=depth,

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from depthestimation_tpu.ops import flop_log
+
 _BATCH_DNUMS = (((2,), (1,)), ((0,), (0,)))   # [C,Y,H] @ [C,H,X] -> [C,Y,X]
 _LAST_DNUMS = (((1,), (1,)), ((), ()))        # [M,K] @ [N,K] -> [M,N]
 
@@ -152,6 +154,11 @@ def _fwd_call(fa, ref, fr, rxt, ry, v: int, interpret: bool):
     x = rxt.shape[3]
     y = ry.shape[2]
     spec = pl.BlockSpec
+    # per grid step: s1 [C*H,W]@[W,X] + batched [C,Y,H]@[C,H,X] +
+    # s2 [H,W]@[W,X] + diag [Y,H]@[H,X]; cost_analysis cannot see them
+    # (ops/flop_log.py)
+    flop_log.log("sweep_fwd",
+                 2.0 * n * d * h * x * (c1 * w + c1 * y + w + y))
 
     return pl.pallas_call(
         _fwd_kernel,
@@ -188,6 +195,12 @@ def _bwd_call(fa, ref, fr, rxt, ry, gcost, gdiag, v: int, interpret: bool):
     x = rxt.shape[3]
     y = ry.shape[2]
     spec = pl.BlockSpec
+    # forward recompute (s1 + warped) + ds1 batched [C,H,Y]@[C,Y,X] +
+    # dfa [CH,X]@[W,X] + ds2 [H,Y]@[Y,X] + dfr [H,X]@[W,X]
+    flop_log.log("sweep_bwd",
+                 2.0 * n * d * h * x * (c1 * w + c1 * y          # recompute
+                                        + c1 * y + c1 * w        # ds1, dfa
+                                        + y + w))                # ds2, dfr
 
     return pl.pallas_call(
         functools.partial(_bwd_kernel, v=v),
