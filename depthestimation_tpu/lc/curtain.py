@@ -255,9 +255,34 @@ class LightCurtain:
                 curve = jnp.interp(jnp.arange(c_bins, dtype=jnp.float32),
                                    ctrl_cols.astype(jnp.float32),
                                    sampled[ctrl_cols].astype(jnp.float32))
-                curve = _gaussian_blur_1d(curve[None], 2.0, axis=1)[0]
-                attract = jnp.exp(-((rows - curve[None, :]) ** 2)
-                                  / (2 * 1.5**2))
+                # Attraction field = the RASTERIZED interpolated curve,
+                # Gaussian-blurred in 2D — the reference draws its fitted
+                # B-spline into an empty field and blurs it with three
+                # 5x5 sigma=1 cv2.GaussianBlur passes
+                # (light_curtain.py:597-624). Rasterization makes the
+                # attraction width ADAPTIVE: where consecutive samples
+                # disagree (high-entropy rays) the steep segment lights
+                # every row it crosses, so the fused field keeps broad
+                # mass and the next solve keeps exploring — the fixed
+                # sigma=1.5 Gaussian of the pre-r5 form starved exactly
+                # those rays and lagged the reference 1.3-1.5x over
+                # iterations 5-7 of the plots.py ablation.
+                # Per column the segment spans the rows between the
+                # entering/leaving midpoints; box x Gaussian = erf pair
+                # (sigma = sqrt(3): three composed sigma=1 blurs).
+                y_prev = jnp.concatenate([curve[:1], curve[:-1]])
+                y_next = jnp.concatenate([curve[1:], curve[-1:]])
+                y_in = 0.5 * (y_prev + curve)
+                y_out = 0.5 * (curve + y_next)
+                lo = jnp.minimum(jnp.minimum(y_in, y_out), curve)
+                hi = jnp.maximum(jnp.maximum(y_in, y_out), curve)
+                sig = float(cfg.get("sigma", np.sqrt(3.0)))
+                s2 = sig * np.sqrt(2.0)
+                attract = 0.5 * (jax.lax.erf((rows - lo[None, :] + 0.5) / s2)
+                                 - jax.lax.erf((rows - hi[None, :] - 0.5)
+                                               / s2))
+                # the cv2 blur is 2D — mix neighbouring columns too
+                attract = _gaussian_blur_1d(attract, sig, axis=1)
                 attract = attract / jnp.sum(attract, axis=0, keepdims=True)
                 mult = base * attract
                 yield jnp.nan_to_num(mult / jnp.sum(mult, axis=0,

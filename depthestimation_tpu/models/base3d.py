@@ -51,17 +51,36 @@ class Base3D(nn.Module):
     convcomb_mesh: Any = None
     convcomb_axis: str = "data"
 
-    def _use_fused(self, n_rows: int, h: int, w: int) -> bool:
+    def _use_fused(self, b: int, d: int, h: int, w: int) -> bool:
         if not (self.convcomb_pallas and self.flat):
             return False
+        if self.convcomb_mesh is not None:
+            shards = dict(zip(self.convcomb_mesh.axis_names,
+                              self.convcomb_mesh.devices.shape)
+                          ).get(self.convcomb_axis, 1)
+            if shards > 1 and b % shards != 0:
+                # GSPMD cannot partition the opaque pallas_call, and the
+                # shard_map dispatch needs whole items per shard — an
+                # unsharded fallback would fully REPLICATE the
+                # production-size [N, C, HW] tensors on every device
+                # (OOM on 15.75 GB chips). Use the XLA stack instead.
+                return False
         if self.convcomb_pallas == "interpret":
+            import jax
+            if jax.default_backend() == "tpu":
+                import warnings
+                warnings.warn(
+                    "convcomb_pallas='interpret' on a TPU backend runs "
+                    "the whole Base3D stack through the Pallas "
+                    "interpreter (orders of magnitude slower) — meant "
+                    "for CPU tests / the multichip dryrun only")
             return True
-        return n_rows >= 192 and (h * w) % 128 == 0
+        return b * d >= 192 and (h * w) % 128 == 0
 
     @nn.compact
     def __call__(self, volume, train: bool = True, prob: bool = True):
         b, d, h, w, c = volume.shape
-        if self._use_fused(b * d, h, w):
+        if self._use_fused(b, d, h, w):
             x = self._fused_stack(volume, train)
         else:
             x = self._xla_stack(volume, train)

@@ -139,16 +139,24 @@ class BaseModelNet(nn.Module):
             return False
         return len(jax.devices()) == 1 or self._sweep_mesh() is not None
 
-    def conv3d_path(self, batch_rows: int, h: int = 96, w: int = 64) -> str:
-        """Which Base3D implementation runs for a ``batch_rows``-row flat
-        volume: "convcomb-pallas", "convcomb-pallas+shard_map", or
-        "xla-flat"/"xla-5d". The dryrun prints this next to sweep_path."""
+    def conv3d_path(self, batch: int, depth: int, h: int, w: int) -> str:
+        """Which Base3D implementation runs for a ``batch``-item volume
+        [batch, depth, h, w, C] (h/w = the cost-volume resolution, i.e.
+        image/4 — thread the real values from the config, the gates are
+        resolution-dependent): "convcomb-pallas",
+        "convcomb-pallas+shard_map", or "xla-flat"/"xla-5d". Mirrors
+        Base3D._use_fused exactly; the dryrun prints this next to
+        sweep_path."""
         cc = self._resolved_convcomb_pallas()
         if not cc or not self.conv3d_flat:
             return "xla-flat" if self.conv3d_flat else "xla-5d"
-        if cc != "interpret" and (batch_rows < 192 or (h * w) % 128 != 0):
+        mesh = self._sweep_mesh() if cc else None
+        if mesh is not None and batch % mesh.size != 0:
+            return "xla-flat"          # see Base3D._use_fused mesh gate
+        if cc != "interpret" and (batch * depth < 192
+                                  or (h * w) % 128 != 0):
             return "xla-flat"
-        if len(jax.devices()) > 1 and self._sweep_mesh() is not None:
+        if len(jax.devices()) > 1 and mesh is not None:
             return "convcomb-pallas+shard_map"
         return "convcomb-pallas"
 

@@ -330,7 +330,17 @@ class DefaultTrainer:
         recursion requires the plain recursion semantics — no same-frame
         self-recursion, no host-driven real-LC fusion (its sweep tensors
         only exist on some batches), single host (the per-frame corrupted-
-        batch skip vote is a host-side branch)."""
+        batch skip vote is a host-side branch).
+
+        Default OFF, backed by measurement: on the v5e chip the rollout is
+        294.0/295.2 ms per frame at scan=4/8 vs 298.1 for the per-frame
+        donated jit step (benchmarks/bench_train_scan.json, r5) — a ~1%
+        win, inside run-to-run noise. Unlike eval (whose scan won 1.74x by
+        removing a host-side per-frame dispatch loop), the train step is
+        already one donated XLA program per frame, so there is no dispatch
+        overhead for the scan to recover, and the rollout compiles ~40%
+        slower. Opt in with ``tpu.scan_train`` where epoch-long device
+        residency matters more than flexibility."""
         return (bool(self.cfg.get("tpu", {}).get("scan_train", False))
                 and self.self_recurse == 1
                 and not self.clear_prev_on_recurse
