@@ -193,10 +193,14 @@ def bench_train_step(batch: int, iters: int, warmup: int = 2,
            "compile_s": round(compile_s, 1),
            "loss": round(float(l), 4)}
     if flops:
+        # r3-comparable convention: count every kernel whose work was
+        # XLA-visible in the r3 series (convcomb took over Base3D's
+        # convs, convbn2d the encoder's) — exclude only the sweep
+        # kernel, which was active-and-uncounted in r3 as well
         conv_fl = sum(v for k, v in kernel_flops.items()
-                      if k.startswith("convcomb"))
+                      if not k.startswith("sweep"))
         all_fl = sum(kernel_flops.values())
-        fl_r3 = flops + conv_fl              # r3-comparable convention
+        fl_r3 = flops + conv_fl
         fl_all = flops + all_fl              # every MXU FLOP counted
         out["step_gflops"] = round(fl_r3 / 1e9, 1)
         out["step_gflops_xla_visible"] = round(flops / 1e9, 1)

@@ -139,6 +139,30 @@ class BaseModelNet(nn.Module):
             return False
         return len(jax.devices()) == 1 or self._sweep_mesh() is not None
 
+    #: fused Pallas 2D strip kernel for the encoder's stride-1 ConvBN
+    #: stacks (ops/convbn2d_pallas.py, models/encoder.py). "auto" = on a
+    #: single-device TPU backend under bf16 (GSPMD cannot partition the
+    #: opaque pallas_call; multi-device keeps XLA for now). True/False
+    #: force; "interpret" = Pallas interpreter (CPU tests / dryrun).
+    convbn2d: Any = "auto"
+
+    def _resolved_convbn2d(self):
+        if self.convbn2d != "auto":
+            return self.convbn2d
+        if (self.dtype or jnp.float32) != jnp.bfloat16:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        return len(jax.devices()) == 1 and (self.mesh is None
+                                            or self.mesh.size <= 1)
+
+    def encoder_path(self, h: int, w: int) -> str:
+        """Which encoder implementation runs at image resolution h x w:
+        "convbn2d-pallas" or "xla". Mirrors BaseEncoder._use_fused."""
+        enc = BaseEncoder(self.feature_dim, self.bn_avg, dtype=self.dtype,
+                          convbn2d=self._resolved_convbn2d())
+        return "convbn2d-pallas" if enc._use_fused(h, w) else "xla"
+
     def conv3d_path(self, batch: int, depth: int, h: int, w: int) -> str:
         """Which Base3D implementation runs for a ``batch``-item volume
         [batch, depth, h, w, C] (h/w = the cost-volume resolution, i.e.
@@ -219,7 +243,8 @@ class BaseModelNet(nn.Module):
             enc_cls = nn.remat(BaseEncoder, static_argnums=(2,))
             dec_cls = nn.remat(BaseDecoder)
         self.base_encoder = enc_cls(self.feature_dim, self.bn_avg,
-                                    dtype=self.dtype)
+                                    dtype=self.dtype,
+                                    convbn2d=self._resolved_convbn2d())
         self.base_decoder = dec_cls(self.d, dtype=self.dtype)
         self.conv0 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         self.conv0_1 = Conv(self.d, 3, 1, 1, dtype=self.dtype)

@@ -4,7 +4,19 @@ Rebuilt from the reference architecture (models/models.py:150-269): strided
 stem, four residual stages (dilated stage 4), spatial-pyramid pooling
 branches, fused 1x1 head producing ``feature_dim`` channels at 1/4
 resolution. Channel-last layout throughout.
-"""
+
+``convbn2d`` selects the fused Pallas 2D strip-kernel chain
+(ops/convbn2d_pallas.py) for the stride-1 3x3 ConvBN stacks — the stem
+tail, stage 1 (half res) and stage 2's residual tail (quarter res), the
+encoder classes the round-5 profile ranks as the largest remaining cost
+(~54 ms of the B=8 step under XLA's 25-50%-lane-use channels-last
+layout). Activations flow as RAW conv outputs in the transposed
+[N_strips, C, rows*W] layout with each layer's BN normalize + ReLU
+applied inside the NEXT kernel's load; residual adds materialize in the
+strip layout. Stage 3 (C=128) and the dilated stage 4 stay on XLA (the
+kernel loses at C=128 and does not support dilation — see
+benchmarks/micro_convbn2d.json). Same parameter tree as the XLA path:
+checkpoints are interchangeable."""
 
 from __future__ import annotations
 
@@ -17,6 +29,30 @@ from depthestimation_tpu.models.layers import BatchNorm, Conv, ConvBN, avg_pool
 from depthestimation_tpu.ops.resample import resize_bilinear_align_corners
 
 
+def _pick_rows(h: int, w: int, target: int = 1536) -> int:
+    """Largest divisor of h whose strip length rows*w stays <= target
+    lanes (VMEM tile budget; ~12 native 128-lane tiles)."""
+    best = 1
+    for r in range(1, h + 1):
+        if h % r == 0 and r * w <= target:
+            best = r
+    return best
+
+
+def _materialize(z, a, b, act):
+    """Apply a pending per-channel normalize (+activation) outside the
+    kernel — needed where an activation is consumed by a residual add or
+    leaves the fused chain. ``a is None`` = identity."""
+    if a is not None:
+        y = z * a.astype(z.dtype)[None, :, None] \
+            + b.astype(z.dtype)[None, :, None]
+    else:
+        y = z
+    if act == "relu":
+        y = jnp.maximum(y, 0)
+    return y
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -27,7 +63,21 @@ class BasicBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, fused_ctx=None):
+        if fused_ctx is not None:
+            # fused chain: x = (raw strips, a, b, act) pending
+            raw, a_in, b_in, act_in = x
+            z1, a1, b1 = ConvBN(self.planes, 3, 1, self.pad, self.dilation,
+                                self.bn_avg, dtype=self.dtype)(
+                raw, train, fused_in=dict(a=a_in, b=b_in, act=act_in,
+                                          **fused_ctx))
+            z2, a2, b2 = ConvBN(self.planes, 3, 1, self.pad, self.dilation,
+                                self.bn_avg, dtype=self.dtype)(
+                z1, train, fused_in=dict(a=a1, b=b1, act="relu",
+                                         **fused_ctx))
+            x_mat = _materialize(raw, a_in, b_in, act_in)
+            out = _materialize(z2, a2, b2, None) + x_mat
+            return (out, None, None, None)
         out = ConvBN(self.planes, 3, self.stride, self.pad, self.dilation,
                      self.bn_avg, dtype=self.dtype)(x, train)
         out = nn.relu(out)
@@ -51,16 +101,40 @@ class _Stage(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, fused_ctx=None):
         need_ds = self.stride != 1 or self.in_planes != self.planes
-        x = BasicBlock(self.planes, self.stride, self.pad, self.dilation,
-                       downsample=need_ds, bn_avg=self.bn_avg,
-                       dtype=self.dtype)(x, train)
+        if fused_ctx is None:
+            x = BasicBlock(self.planes, self.stride, self.pad,
+                           self.dilation, downsample=need_ds,
+                           bn_avg=self.bn_avg, dtype=self.dtype)(x, train)
+            for _ in range(1, self.blocks):
+                x = BasicBlock(self.planes, 1, self.pad, self.dilation,
+                               downsample=False, bn_avg=self.bn_avg,
+                               dtype=self.dtype)(x, train)
+            return x
+
+        from depthestimation_tpu.ops.convbn2d_pallas import (
+            from_strips, to_strips)
+        rows = fused_ctx["rows"]
+        if isinstance(x, tuple):
+            # whole stage fused (stride-1, no downsample entry)
+            h = fused_ctx["spi"] * rows
+            cur = BasicBlock(self.planes, self.stride, self.pad,
+                             self.dilation, downsample=need_ds,
+                             bn_avg=self.bn_avg, dtype=self.dtype)(
+                x, train, fused_ctx)
+        else:
+            # strided/downsample entry block on XLA, fused tail
+            cur = BasicBlock(self.planes, self.stride, self.pad,
+                             self.dilation, downsample=need_ds,
+                             bn_avg=self.bn_avg, dtype=self.dtype)(x, train)
+            h = cur.shape[1]
+            cur = (to_strips(cur, rows), None, None, None)
         for _ in range(1, self.blocks):
-            x = BasicBlock(self.planes, 1, self.pad, self.dilation,
-                           downsample=False, bn_avg=self.bn_avg,
-                           dtype=self.dtype)(x, train)
-        return x
+            cur = BasicBlock(self.planes, 1, self.pad, self.dilation,
+                             downsample=False, bn_avg=self.bn_avg,
+                             dtype=self.dtype)(cur, train, fused_ctx)
+        return from_strips(_materialize(*cur), rows, h)
 
 
 class BaseEncoder(nn.Module):
@@ -69,21 +143,74 @@ class BaseEncoder(nn.Module):
     feature_dim: int = 32
     bn_avg: bool = False
     dtype: Any = None
+    #: fused Pallas strip-kernel chain for the stride-1 ConvBN stacks:
+    #: False = XLA, True = compiled kernel, "interpret" = Pallas
+    #: interpreter (CPU tests / dryrun). Resolved by BaseModelNet.
+    convbn2d: Any = False
+
+    def _use_fused(self, h: int, w: int) -> bool:
+        if not self.convbn2d:
+            return False
+        if h % 4 or w % 4:
+            return False
+        if self.convbn2d == "interpret":
+            return True
+        # compiled gate: bf16 compute and strips wide enough to feed the
+        # MXU (tiny rows*W loses to the per-step grid overhead)
+        return (self.dtype == jnp.bfloat16
+                and _pick_rows(h // 2, w // 2) * (w // 2) >= 512)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         mul = self.feature_dim / 64.0
         s0, s1, s2, s3 = int(16 * mul), int(32 * mul), int(64 * mul), int(128 * mul)
+        # TRAIN-ONLY on compiled TPU: the fused chain wins on the train
+        # step (device self-time 289.5 -> 286.7 ms at B=8 — the BN-stat
+        # work rides the kernel) but costs the eval forward ~2.5% (B=8
+        # 178.8 -> 174.2 fps: eval has no BN-grad work to fuse away and
+        # pays the strip transposes) — interpret mode ignores the gate so
+        # CPU tests cover both phases
+        fused = self._use_fused(x.shape[1], x.shape[2]) and (
+            train or self.convbn2d == "interpret")
 
-        # stem: stride-2 conv + 2 convs
-        for i, stride in enumerate((2, 1, 1)):
-            x = ConvBN(s1, 3, stride, 1, 1, self.bn_avg, dtype=self.dtype)(x, train)
-            x = nn.relu(x)
+        if not fused:
+            # stem: stride-2 conv + 2 convs
+            for i, stride in enumerate((2, 1, 1)):
+                x = ConvBN(s1, 3, stride, 1, 1, self.bn_avg,
+                           dtype=self.dtype)(x, train)
+                x = nn.relu(x)
+            out1 = _Stage(s1, 3, 1, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
+                          dtype=self.dtype)(x, train)
+            raw = _Stage(s2, s0, 2, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
+                         dtype=self.dtype)(out1, train)
+        else:
+            from depthestimation_tpu.ops.convbn2d_pallas import to_strips
+            interp = self.convbn2d == "interpret"
+            # stem: stride-2 entry on XLA; its ReLU and the two stride-1
+            # stem convs ride the fused chain
+            x = ConvBN(s1, 3, 2, 1, 1, self.bn_avg, dtype=self.dtype)(
+                x, train)
+            h2, w2 = x.shape[1], x.shape[2]
+            rows_h = _pick_rows(h2, w2)
+            ctx_h = dict(spi=h2 // rows_h, rows=rows_h, w=w2,
+                         interpret=interp)
+            z, a, b = ConvBN(s1, 3, 1, 1, 1, self.bn_avg,
+                             dtype=self.dtype)(
+                to_strips(x, rows_h), train,
+                fused_in=dict(a=None, b=None, act="relu", **ctx_h))
+            z, a, b = ConvBN(s1, 3, 1, 1, 1, self.bn_avg,
+                             dtype=self.dtype)(
+                z, train, fused_in=dict(a=a, b=b, act="relu", **ctx_h))
+            out1 = _Stage(s1, 3, 1, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
+                          dtype=self.dtype)((z, a, b, "relu"), train,
+                                            ctx_h)
+            h4, w4 = h2 // 2, w2 // 2
+            rows_q = _pick_rows(h4, w4)
+            ctx_q = dict(spi=h4 // rows_q, rows=rows_q, w=w4,
+                         interpret=interp)
+            raw = _Stage(s2, s0, 2, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
+                         dtype=self.dtype)(out1, train, ctx_q)
 
-        out1 = _Stage(s1, 3, 1, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
-                      dtype=self.dtype)(x, train)
-        raw = _Stage(s2, s0, 2, 1, 1, in_planes=s1, bn_avg=self.bn_avg,
-                     dtype=self.dtype)(out1, train)
         l3 = _Stage(s3, 3, 1, 1, 1, in_planes=s2, bn_avg=self.bn_avg,
                     dtype=self.dtype)(raw, train)
         skip = _Stage(s3, 3, 1, 1, 2, in_planes=s3, bn_avg=self.bn_avg,

@@ -84,6 +84,9 @@ def get_model(cfg, mesh=None):
                 cfg.get("tpu", {}).get("sweep_dtype", "auto"), "auto"),
             sweep_pallas=cfg.get("tpu", {}).get("sweep_pallas", "auto"),
             combine_pallas=cfg.get("tpu", {}).get("combine_pallas", "auto"),
+            convcomb_pallas=cfg.get("tpu", {}).get("convcomb_pallas",
+                                                   "auto"),
+            convbn2d=cfg.get("tpu", {}).get("convbn2d", "auto"),
             remat=_resolve_remat(cfg),
             conv3d_flat=bool(cfg.get("tpu", {}).get("conv3d_flat", True)),
         )

@@ -50,10 +50,30 @@ def bilinear_kernel_init():
     return init
 
 
+class _ConvParams(nn.Module):
+    """Parameter-holder matching nn.Conv's tree exactly (child "Conv_0"
+    with param "kernel", same shape/init/RNG-path), for the fused path
+    that bypasses nn.Conv's forward."""
+    shape: tuple
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.kernel_init, self.shape)
+
+
 class Conv(nn.Module):
     """2D conv, torch geometry: explicit symmetric padding. ``dtype``
     selects the compute precision (bf16 halves HBM traffic and doubles MXU
-    rate; params stay f32)."""
+    rate; params stay f32).
+
+    With ``fused_in`` the conv runs as the fused Pallas 2D strip kernel
+    (ops/convbn2d_pallas.py): ``x`` is the RAW previous output in the
+    transposed [N_strips, C, rows*W] layout and ``fused_in`` =
+    dict(a, b, act, spi, rows, w, interpret, seam) carries the pending
+    per-channel normalize (None = identity) the kernel applies on load;
+    returns (y_raw strips, stats [F, 2]). Same parameter tree as the
+    nn.Conv path — checkpoints are interchangeable."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -64,7 +84,9 @@ class Conv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_in=None):
+        if fused_in is not None:
+            return self._fused(x, fused_in)
         return nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -76,6 +98,46 @@ class Conv(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )(x)
+
+    def _fused(self, x, fused_in):
+        from depthestimation_tpu.ops.convbn2d_pallas import (
+            convbn2d_block, pack_wm2d)
+
+        k = self.kernel_size
+        if (k != 3 or self.stride != 1 or self.padding != 1
+                or self.dilation != 1 or self.use_bias):
+            raise ValueError("fused Conv needs the 3x3 stride-1 'same' "
+                             "no-bias no-dilation geometry")
+        n, c, L = x.shape
+        f = self.features
+        kernel = _ConvParams((k, k, c, f), self.kernel_init,
+                             name="Conv_0")()
+        cp = (-c) % 8
+        fp = (-f) % 8
+        if cp or fp:
+            kernel_p = jnp.pad(kernel, ((0, 0), (0, 0), (0, cp), (0, fp)))
+            x = jnp.pad(x, ((0, 0), (0, cp), (0, 0)))
+        else:
+            kernel_p = kernel
+        wm = pack_wm2d(kernel_p).astype(jnp.bfloat16)
+        a, b = fused_in["a"], fused_in["b"]
+        a = jnp.ones((c + cp,), jnp.float32) if a is None else \
+            (jnp.concatenate([a.astype(jnp.float32),
+                              jnp.ones((cp,), jnp.float32)])
+             if cp else a.astype(jnp.float32))
+        b = jnp.zeros((c + cp,), jnp.float32) if b is None else \
+            (jnp.concatenate([b.astype(jnp.float32),
+                              jnp.zeros((cp,), jnp.float32)])
+             if cp else b.astype(jnp.float32))
+        y, stats = convbn2d_block(
+            x.astype(jnp.bfloat16), wm, a, b, fused_in["spi"],
+            fused_in["rows"], fused_in["w"], fused_in.get("act") or "none",
+            fused_in.get("interpret", False),
+            fused_in.get("seam", "xla"))
+        if fp:
+            y = y[:, :f]
+            stats = stats[:f]
+        return y, stats
 
 
 class Conv3d(nn.Module):
@@ -459,7 +521,13 @@ class BatchNorm(nn.Module):
 
 class ConvBN(nn.Module):
     """convbn (models.py:25-30): conv (no bias) + BN; padding follows the
-    reference's quirk padding = dilation if dilation > 1 else pad."""
+    reference's quirk padding = dilation if dilation > 1 else pad.
+
+    ``fused_in`` selects the fused Pallas strip-kernel chain (see
+    Conv._fused / ops/convbn2d_pallas.py): x is the RAW previous output
+    [N_strips, C, rows*W]; returns (y_raw, a, b) where (a, b) normalize
+    y_raw on the NEXT fused layer's load — the 2D sibling of ConvBN3d's
+    fused contract."""
     features: int
     kernel_size: int
     stride: int
@@ -469,11 +537,18 @@ class ConvBN(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, fused_in=None):
         p = self.dilation if self.dilation > 1 else self.pad
-        x = Conv(self.features, self.kernel_size, self.stride, p,
-                 self.dilation, use_bias=False, dtype=self.dtype)(x)
-        return BatchNorm(self.bn_running_avg)(x, train)
+        conv = Conv(self.features, self.kernel_size, self.stride, p,
+                    self.dilation, use_bias=False, dtype=self.dtype)
+        bn = BatchNorm(self.bn_running_avg)
+        if fused_in is not None:
+            y, stats = conv(x, fused_in=fused_in)
+            count = float(y.shape[0] * y.shape[2])
+            a, b = bn(None, train, fused_stats=(stats, count))
+            return y, a, b
+        x = conv(x)
+        return bn(x, train)
 
 
 class ConvBN3d(nn.Module):
