@@ -245,7 +245,15 @@ class BaseModelNet(nn.Module):
         self.base_encoder = enc_cls(self.feature_dim, self.bn_avg,
                                     dtype=self.dtype,
                                     convbn2d=self._resolved_convbn2d())
-        self.base_decoder = dec_cls(self.d, dtype=self.dtype)
+        # decoder refine tail: MEASURED-REJECTED for auto (B=8 step 290
+        # -> 310.6 ms with the full-res C=67 chain fused — the spi=64
+        # strip grid's per-step overhead dominates at F<=72 tiles and
+        # the bwd kernel loses its seam work to tiny strips). The path
+        # stays available for forcing/interpret (tests pin it).
+        self.base_decoder = dec_cls(
+            self.d, dtype=self.dtype,
+            convbn2d=(self.convbn2d
+                      if self.convbn2d in (True, "interpret") else False))
         self.conv0 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         self.conv0_1 = Conv(self.d, 3, 1, 1, dtype=self.dtype)
         self.conv0_2 = Conv(self.d, 3, 1, 1, dtype=self.dtype)

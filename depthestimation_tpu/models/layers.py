@@ -52,14 +52,18 @@ def bilinear_kernel_init():
 
 class _ConvParams(nn.Module):
     """Parameter-holder matching nn.Conv's tree exactly (child "Conv_0"
-    with param "kernel", same shape/init/RNG-path), for the fused path
-    that bypasses nn.Conv's forward."""
+    with params "kernel"/"bias", same shape/init/RNG-path), for the
+    fused path that bypasses nn.Conv's forward."""
     shape: tuple
     kernel_init: Callable
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", self.kernel_init, self.shape)
+        kernel = self.param("kernel", self.kernel_init, self.shape)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[-1],)) if self.use_bias else None
+        return kernel, bias
 
 
 class Conv(nn.Module):
@@ -100,18 +104,23 @@ class Conv(nn.Module):
         )(x)
 
     def _fused(self, x, fused_in):
+        """Returns (y_raw strips, stats, bias-or-None). A biased conv's
+        own bias is NOT applied to y — chain it as the next fused
+        layer's ``b`` (the decoder's leaky chains do), or add it after
+        ``from_strips``."""
         from depthestimation_tpu.ops.convbn2d_pallas import (
             convbn2d_block, pack_wm2d)
 
         k = self.kernel_size
         if (k != 3 or self.stride != 1 or self.padding != 1
-                or self.dilation != 1 or self.use_bias):
+                or self.dilation != 1):
             raise ValueError("fused Conv needs the 3x3 stride-1 'same' "
-                             "no-bias no-dilation geometry")
+                             "no-dilation geometry")
         n, c, L = x.shape
         f = self.features
-        kernel = _ConvParams((k, k, c, f), self.kernel_init,
-                             name="Conv_0")()
+        kernel, bias = _ConvParams((k, k, c, f), self.kernel_init,
+                                   use_bias=self.use_bias,
+                                   name="Conv_0")()
         cp = (-c) % 8
         fp = (-f) % 8
         if cp or fp:
@@ -137,7 +146,7 @@ class Conv(nn.Module):
         if fp:
             y = y[:, :f]
             stats = stats[:f]
-        return y, stats
+        return y, stats, bias
 
 
 class Conv3d(nn.Module):
@@ -543,7 +552,7 @@ class ConvBN(nn.Module):
                     self.dilation, use_bias=False, dtype=self.dtype)
         bn = BatchNorm(self.bn_running_avg)
         if fused_in is not None:
-            y, stats = conv(x, fused_in=fused_in)
+            y, stats, _ = conv(x, fused_in=fused_in)
             count = float(y.shape[0] * y.shape[2])
             a, b = bn(None, train, fused_stats=(stats, count))
             return y, a, b

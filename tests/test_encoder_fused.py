@@ -117,3 +117,65 @@ def test_running_stats():
             np.asarray(got), np.asarray(want),
             rtol=3e-2 if tight else 1e-1,
             atol=5e-3 if tight else 5e-2, err_msg=name)
+
+
+def test_decoder_fused():
+    """Fused full-res refine tail of BaseDecoder (bias + leaky chained
+    through the kernels) vs the XLA path: tree+init equality, forward and
+    grads vs the f32 oracle."""
+    from depthestimation_tpu.models.decoder import BaseDecoder
+
+    rs = np.random.RandomState(7)
+    d = 16
+    dpv = jax.nn.softmax(
+        jnp.asarray(rs.randn(2, 8, 12, d), jnp.float32), axis=-1)
+    feats = [jnp.asarray(rs.randn(2, 8, 12, 8) * 0.3, jnp.float32),
+             jnp.asarray(rs.randn(2, 16, 24, 4) * 0.3, jnp.float32),
+             jnp.asarray(rs.randn(2, 32, 48, 3) * 0.3, jnp.float32)]
+
+    def mk(kind):
+        if kind == "oracle":
+            return BaseDecoder(d, dtype=jnp.float32, convbn2d=False)
+        if kind == "xla":
+            return BaseDecoder(d, dtype=jnp.bfloat16, convbn2d=False)
+        return BaseDecoder(d, dtype=jnp.bfloat16, convbn2d="interpret")
+
+    m_o, m_x, m_p = mk("oracle"), mk("xla"), mk("fused")
+    params = m_x.init(jax.random.PRNGKey(0), dpv, feats)
+    p_p = m_p.init(jax.random.PRNGKey(0), dpv, feats)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p_p))
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(p_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(path))
+
+    o_o = m_o.apply(params, dpv, feats)
+    o_x = m_x.apply(params, dpv, feats)
+    o_p = m_p.apply(params, dpv, feats)
+    oo = np.asarray(o_o, np.float64)
+    d_xla = np.linalg.norm(np.asarray(o_x, np.float64) - oo)
+    d_fus = np.linalg.norm(np.asarray(o_p, np.float64) - oo)
+    assert d_fus <= max(3.0 * d_xla, 4e-3 * np.linalg.norm(oo)), (
+        d_fus, d_xla)
+
+    def loss(m):
+        def f(p, v):
+            return jnp.sum(m.apply(p, v, feats) ** 2) / v.size
+        return f
+
+    g_o = jax.grad(loss(m_o), argnums=(0, 1))(params, dpv)
+    g_x = jax.grad(loss(m_x), argnums=(0, 1))(params, dpv)
+    g_p = jax.grad(loss(m_p), argnums=(0, 1))(params, dpv)
+    for (path, go), (_, gx), (_, gp) in zip(
+            jax.tree_util.tree_leaves_with_path(g_o),
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        go = np.asarray(go, np.float64)
+        d_xla = np.linalg.norm(np.asarray(gx, np.float64) - go)
+        d_fus = np.linalg.norm(np.asarray(gp, np.float64) - go)
+        bound = max(3.0 * d_xla, 4e-3 * np.linalg.norm(go))
+        assert d_fus <= bound, (
+            f"{jax.tree_util.keystr(path)}: {d_fus:.4g} > {bound:.4g} "
+            f"(xla {d_xla:.4g})")
