@@ -157,11 +157,19 @@ class BaseModelNet(nn.Module):
                                             or self.mesh.size <= 1)
 
     def encoder_path(self, h: int, w: int) -> str:
-        """Which encoder implementation runs at image resolution h x w:
-        "convbn2d-pallas" or "xla". Mirrors BaseEncoder._use_fused."""
-        enc = BaseEncoder(self.feature_dim, self.bn_avg, dtype=self.dtype,
-                          convbn2d=self._resolved_convbn2d())
-        return "convbn2d-pallas" if enc._use_fused(h, w) else "xla"
+        """Which encoder implementation runs at image resolution h x w
+        in TRAIN mode: "convbn2d-pallas" or "xla". Mirrors
+        BaseEncoder._use_fused (inlined — instantiating a child module
+        on an unbound model trips Flax's naming assertions)."""
+        cc = self._resolved_convbn2d()
+        if not cc or h % 4 or w % 4:
+            return "xla"
+        if cc == "interpret":
+            return "convbn2d-pallas"
+        from depthestimation_tpu.models.encoder import _pick_rows
+        ok = (self.dtype == jnp.bfloat16
+              and _pick_rows(h // 2, w // 2) * (w // 2) >= 512)
+        return "convbn2d-pallas" if ok else "xla"
 
     def conv3d_path(self, batch: int, depth: int, h: int, w: int) -> str:
         """Which Base3D implementation runs for a ``batch``-item volume
