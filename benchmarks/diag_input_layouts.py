@@ -9,6 +9,13 @@ conversion off the critical path legitimately. This diag quantifies the
 win before wiring it into the trainer/bench.
 
 Run on TPU:  python -m benchmarks.diag_input_layouts
+
+MEASURED (r5, v5e): baseline 290.3 ms vs pre-formatted 292.3 ms — NO
+win. jax already transfers these inputs in (or XLA accepts) the
+executable's preferred layouts; the `copy` ops in the profile are
+internal (remat copies, transposes between fusions), not input
+conversions. Idea rejected — kept as the negative result so the next
+round doesn't re-run the experiment.
 """
 
 import os

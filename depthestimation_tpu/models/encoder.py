@@ -65,6 +65,9 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, fused_ctx=None):
         if fused_ctx is not None:
+            if self.stride != 1 or self.downsample or self.dilation != 1:
+                raise ValueError("fused BasicBlock needs stride-1, no "
+                                 "downsample, no dilation")
             # fused chain: x = (raw strips, a, b, act) pending
             raw, a_in, b_in, act_in = x
             z1, a1, b1 = ConvBN(self.planes, 3, 1, self.pad, self.dilation,
